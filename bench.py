@@ -1,0 +1,82 @@
+"""Headline benchmark: training throughput (images/sec/chip) of the flagship
+4x SR generator at the reference's data shapes (HR 512x1024 / LR 128x256,
+batch 12 — ``src/train.py:94-95``, ``src/transformers.py:74,80``).
+
+Runs the fused jit train step (forward + ReconstructionLoss + backward +
+Adam) on whatever accelerator is visible (the driver provides one real TPU
+chip). Baseline is the reference-equivalent torch CPU train step measured by
+``scripts/measure_cpu_baseline.py`` (BASELINE.md procedure), read from
+BASELINE_CPU.json.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _baseline_ips() -> float:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_CPU.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["images_per_sec_cpu"])
+    except Exception:
+        return 0.12  # conservative fallback estimate, see BASELINE_CPU.json
+
+
+def main():
+    from srgan_tpu.config import ModelConfig
+    from srgan_tpu.models.srresnet import init_generator
+    from srgan_tpu.training.steps import generator_pixel_step
+    from srgan_tpu.training.train_state import TrainState
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    batch = int(os.environ.get("BENCH_BATCH", "12" if on_tpu else "2"))
+    hr_h, hr_w = (512, 1024) if on_tpu else (128, 256)
+    steps = int(os.environ.get("BENCH_STEPS", "10" if on_tpu else "2"))
+    factor = 4
+    # bfloat16 conv compute on TPU (MXU fast path); fp32 master params.
+    cfg = ModelConfig(compute_dtype="bfloat16" if on_tpu else "float32")
+
+    model, params = init_generator(
+        cfg, jax.random.key(0), sample_hw=(hr_h // factor, hr_w // factor)
+    )
+    state = TrainState.create(apply_fn=model.apply, params=params)
+
+    key = jax.random.key(1)
+    hr = jax.random.uniform(key, (batch, hr_h, hr_w, 3), jnp.float32)
+    lr_imgs = jax.random.uniform(
+        jax.random.key(2), (batch, hr_h // factor, hr_w // factor, 3), jnp.float32
+    )
+    lr = jnp.asarray(1e-4)
+
+    # Warmup / compile. NOTE: timing forces a host fetch of the final loss
+    # (float(...)) rather than block_until_ready — on the axon TPU tunnel the
+    # latter returns before execution finishes, giving fantasy numbers.
+    state, m = generator_pixel_step(state, hr, lr_imgs, lr)
+    float(m["g_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = generator_pixel_step(state, hr, lr_imgs, lr)
+    float(m["g_loss"])
+    dt = time.perf_counter() - t0
+
+    ips = batch * steps / dt
+    baseline = _baseline_ips()
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip_4x_sr",
+        "value": round(ips, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

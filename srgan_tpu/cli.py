@@ -1,0 +1,142 @@
+"""Command-line entry points: ``python -m srgan_tpu.cli <train|eval|upscale>``.
+
+Replaces the reference's three ad-hoc entries — ``python src/train.py``
+(``src/train.py:297-302``), ``python src/evaluation.py``
+(``src/evaluation.py:64-79``) and the broken ``src/main.py`` — with one
+launcher. On TPU a single process drives all local devices via the mesh; no
+``mp.spawn``-per-device (SURVEY.md §2 Train CLI row).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+
+def _add_train(sub):
+    p = sub.add_parser("train", help="train the (pool of) SR generator(s)")
+    p.add_argument("--train-dir", default="data/train")
+    p.add_argument("--val-dir", default="data/val")
+    p.add_argument("--epochs", type=int, default=30)  # train.py:23
+    p.add_argument("--batch-size", type=int, default=12)  # train.py:94
+    p.add_argument("--hr-height", type=int, default=512)
+    p.add_argument("--hr-width", type=int, default=1024)
+    p.add_argument("--upscale", type=int, default=4)
+    p.add_argument("--num-features", type=int, default=64)
+    p.add_argument("--num-residuals", type=int, default=16)
+    p.add_argument("--num-generators", type=int, default=1)
+    p.add_argument("--gan", action="store_true",
+                   help="enable adversarial training (BASELINE configs 2+)")
+    p.add_argument("--starting-gan-loss", type=float, default=0.05)
+    p.add_argument("--continue-training", action="store_true",
+                   help="fine-tune phase: reload checkpoint, LR/5, "
+                        "Post-Training prefix (train.py:51-59)")
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--prefix", default="Training")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 conv compute (TPU MXU fast path)")
+    p.add_argument("--debug-nans", action="store_true")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() first")
+
+
+def _add_eval(sub):
+    p = sub.add_parser("eval", help="batch evaluation on a paired LR/HR set")
+    p.add_argument("-D", "--data_dir", default="data")
+    p.add_argument("-lr", "--lr_dir", default="LRbicx4")
+    p.add_argument("-hr", "--hr_dir", default="original")
+    p.add_argument("--no-extra-downscale", action="store_true")
+    p.add_argument("--no-enhance", action="store_true")
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--prefix", default="Training")
+
+
+def _add_upscale(sub):
+    p = sub.add_parser("upscale", help="super-resolve one image file")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--prefix", default="Training")
+    p.add_argument("--enhance", action="store_true")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("srgan_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    _add_train(sub)
+    _add_eval(sub)
+    _add_upscale(sub)
+    args = parser.parse_args(argv)
+
+    if args.cmd == "train":
+        from srgan_tpu.config import (
+            Config, DataConfig, ModelConfig, PoolConfig, TrainConfig,
+        )
+        from srgan_tpu.training.loop import Trainer
+
+        if args.multihost:
+            from srgan_tpu.parallel.mesh import initialize_multihost
+
+            initialize_multihost()
+        cfg = Config(
+            model=ModelConfig(
+                upscale_factor=args.upscale,
+                num_features=args.num_features,
+                num_residuals=args.num_residuals,
+                compute_dtype="bfloat16" if args.bf16 else "float32",
+            ),
+            data=DataConfig(
+                train_dir=args.train_dir,
+                val_dir=args.val_dir,
+                hr_size=(args.hr_height, args.hr_width),
+                upscale_factor=args.upscale,
+                batch_size=args.batch_size,
+            ),
+            pool=PoolConfig(
+                num_generators=args.num_generators,
+                starting_gan_loss=args.starting_gan_loss,
+            ),
+            train=TrainConfig(
+                num_epochs=args.epochs,
+                use_gan=args.gan,
+                results_dir=args.results_dir,
+                run_prefix=args.prefix,
+                seed=args.seed,
+                debug_nans=args.debug_nans,
+            ),
+        )
+        Trainer(cfg).train(continue_training=args.continue_training)
+    elif args.cmd == "eval":
+        from srgan_tpu.eval.evaluation import evaluate_model
+
+        evaluate_model(
+            dataset=args.data_dir,
+            lr_path=args.lr_dir,
+            hr_path=args.hr_dir,
+            results_dir=args.results_dir,
+            prefix=args.prefix,
+            extra_downscale=not args.no_extra_downscale,
+            apply_enhance=not args.no_enhance,
+        )
+    elif args.cmd == "upscale":
+        import os
+
+        from srgan_tpu.eval.inference import Upscaler
+
+        ckpt_dir = os.path.join(args.results_dir, f"{args.prefix}_ckpt")
+        if os.path.isdir(ckpt_dir):
+            up = Upscaler.from_checkpoint(
+                args.results_dir, args.prefix, enhance_output=args.enhance
+            )
+        else:
+            print("warning: no checkpoint found, using random weights",
+                  file=sys.stderr)
+            up = Upscaler.random_init(enhance_output=args.enhance)
+        up.upscale_file(args.input, args.output)
+        print(f"saved {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Typed configuration for the TPU-native multi-generator SR-GAN framework.
+
+Replaces the reference's two config mechanisms — module constants in
+``src/variables.py:1-6`` (dataset paths, ``clip_width=1024``/``clip_height=512``)
+and hyperparameters hardcoded in ``src/train.py`` (epochs ``train.py:23``,
+batch 12 ``train.py:94-95``, Adam LRs ``train.py:40-41``, LinearLR 1→0.01
+``train.py:70-71``, split 0.7 ``train.py:82``) — with one typed dataclass tree
+covering every BASELINE config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """SRResNet generator hyperparameters (reference ``src/models.py:44-87``)."""
+
+    in_channels: int = 3
+    num_features: int = 64
+    num_residuals: int = 16
+    upscale_factor: int = 4  # power of two: 2, 4, 8
+    # The reference uses BatchNorm (``models.py:16,19``) but flags it as broken
+    # for distributed training (``readme.md:20``). GroupNorm is mesh-safe: its
+    # statistics are per-sample, so it needs no cross-device sync.
+    norm: str = "group"  # "group" | "none"
+    group_norm_groups: int = 8
+    # RGB output head: "subpixel" folds the final 9x9 conv through the last
+    # pixel-shuffle (same function class, ~2.6x faster on TPU — the 9x9 conv
+    # at full output resolution is HBM-bound); "reference" keeps the
+    # reference's post-shuffle conv9x9 layout (``src/models.py:78,86``).
+    head: str = "subpixel"
+    # bfloat16 compute keeps the conv towers on the MXU's fast path; params
+    # stay float32 and are cast per-op.
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscriminatorConfig:
+    """Fully-conv patch discriminator (reference ``src/models.py:90-120``)."""
+
+    in_channels: int = 3
+    num_filters: int = 64
+    # Reference parity: 4 stages (needs >= 428px inputs). Fewer stages give a
+    # shallower patch critic usable on small images.
+    num_stages: int = 4
+    compute_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Data pipeline configuration (reference ``src/variables.py``,
+    ``src/transformers.py:73-82``, ``src/train.py:74-95``)."""
+
+    train_dir: str = "data/train"
+    val_dir: str = "data/val"
+    # HR clip size (height, width); reference: 512x1024 (``variables.py:5-6``).
+    hr_size: Tuple[int, int] = (512, 1024)
+    upscale_factor: int = 4
+    batch_size: int = 12
+    # fraction of the train folder actually used (reference's 70/30
+    # ``random_split`` with the 30% discarded, ``train.py:82-87``).
+    split_ratio: float = 0.7
+    split_seed: int = 0
+    # Max stddev of the per-image gaussian noise added to LR inputs;
+    # severity ~ U(0, max) per image (``transformers.py:76``).
+    noise_std_max: float = 0.03
+    prefetch_depth: int = 2
+    num_workers: int = 4
+    drop_remainder: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class PoolConfig:
+    """Multi-generator competitive pool (the README spec, ``readme.md:1-17``).
+
+    The reference describes the algorithm in prose with free parameters;
+    these knobs pin them explicitly (SURVEY.md §7 hard part (b)).
+    """
+
+    num_generators: int = 1
+    # Loss threshold splitting the two GAN-probability regimes
+    # ("Starting_GAN_loss", ``readme.md:10``).
+    starting_gan_loss: float = 0.05
+    # P(GAN update) while a generator's running loss is above the threshold
+    # ("大概率使用对比损失，小概率使用GAN").
+    p_gan_above: float = 0.1
+    # P(GAN update) for the best generator once below the threshold
+    # ("第一个模型大概率使用GAN").
+    p_gan_leader: float = 0.9
+    # P(GAN update) for a non-leader whose loss exceeds the current minimum.
+    p_gan_follower: float = 0.1
+    # EMA factor for the per-generator running contrastive loss that drives
+    # the ordering and the regime decision ("比较自身对比损失和pre_loss").
+    loss_ema: float = 0.9
+    # Weak-learns-from-strong interpolation: param = a*strong + (1-a)*weak
+    # (reference ``src/utils.py:113-115``, alpha=0.2).
+    mutual_alpha: float = 0.2
+    mutual_learning: bool = True
+    # README orders the pool by loss ascending (``readme.md:4``); the helper
+    # the reference ships sorts descending (``utils.py:107``). We follow the
+    # README (deviation recorded in SURVEY.md §7(5)).
+    sort_ascending: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. The reference's only strategy is data parallelism
+    over NCCL DDP (``src/train.py:31,45,47``); here it is a 1-D ``data`` mesh
+    with XLA collectives over ICI/DCN."""
+
+    data_axis: str = "data"
+    num_devices: Optional[int] = None  # None = all visible devices
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop configuration (reference ``src/train.py:23-71``)."""
+
+    num_epochs: int = 30
+    lr_generator: float = 1e-4
+    # reference: lr_discriminator = lr_generator / 2 (``train.py:41``)
+    lr_discriminator: float = 5e-5
+    # LinearLR start/end factors over num_epochs (``train.py:70-71``)
+    lr_start_factor: float = 1.0
+    lr_end_factor: float = 0.01
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    # Fine-tune phase: reloading a checkpoint divides LRs by this and renames
+    # the run prefix to "Post-Training" (``train.py:51-59``, readme.md:14).
+    finetune_lr_divisor: float = 5.0
+    # GAN loss terms (relativistic, tanh-squashed; ``train.py:190,218``).
+    use_gan: bool = False
+    validate_every: int = 5
+    score_max_batches: int = 30  # compute_score cap (``train.py:271-272``)
+    results_dir: str = "results"
+    run_prefix: str = "Training"
+    seed: int = 0
+    # opt-in NaN debugging, replacing the reference's always-on
+    # ``set_detect_anomaly(True)`` (``train.py:177,207``; SURVEY.md §5).
+    debug_nans: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    discriminator: DiscriminatorConfig = dataclasses.field(
+        default_factory=DiscriminatorConfig
+    )
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    pool: PoolConfig = dataclasses.field(default_factory=PoolConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def small_test_config() -> Config:
+    """Tiny config mirroring BASELINE config 1: single generator,
+    pixel-loss-only 2x SR on 64x64→128x128 crops."""
+
+    return Config(
+        model=ModelConfig(num_features=16, num_residuals=2, upscale_factor=2),
+        data=DataConfig(hr_size=(128, 128), upscale_factor=2, batch_size=2),
+        train=TrainConfig(num_epochs=2, validate_every=1),
+    )

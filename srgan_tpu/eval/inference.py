@@ -1,0 +1,84 @@
+"""Single-image super-resolution inference — the working public API the
+reference's ``main.py`` intended to be (it is broken: stub ``load_image`` and
+a wrong-arity ``train_example`` call, ``src/main.py:7-28``, SURVEY.md §3.3).
+
+Usage:
+    sr = upscale(image)                      # HWC float/uint8 numpy → HWC float
+    upscale_file("in.jpg", "out.png")        # file → file
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from srgan_tpu.config import Config, ModelConfig
+from srgan_tpu.models.enhancer import enhance
+from srgan_tpu.models.srresnet import SRResNet, init_generator
+from srgan_tpu.training.steps import infer_step
+from srgan_tpu.utils.image_io import load_image, save_image
+
+
+class Upscaler:
+    """Holds a generator (params + apply) and runs jit'd SR inference."""
+
+    def __init__(self, model: SRResNet, params, *, enhance_output: bool = False):
+        self.model = model
+        self.params = params
+        self.enhance_output = enhance_output
+
+    @classmethod
+    def random_init(cls, cfg: Optional[ModelConfig] = None, seed: int = 0, **kw):
+        import jax
+
+        cfg = cfg or ModelConfig()
+        model, params = init_generator(cfg, jax.random.key(seed))
+        return cls(model, params, **kw)
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        results_dir: str,
+        prefix: str = "Training",
+        model_cfg: Optional[ModelConfig] = None,
+        **kw,
+    ):
+        """Load the lead generator from an Orbax training checkpoint (the
+        analogue of eval's ``Training_generator_model_0.pth`` load with DDP
+        prefix stripping, ``src/evaluation.py:22-31``). The architecture is
+        read from the checkpoint's JSON sidecar unless given explicitly."""
+        from srgan_tpu.training import checkpoint as ckpt
+
+        model_cfg = model_cfg or ckpt.load_model_config(results_dir, prefix)
+        if model_cfg is None:
+            raise FileNotFoundError(
+                f"no {prefix}_model.json sidecar in {results_dir}; pass "
+                "model_cfg explicitly for checkpoints from other sources"
+            )
+        model = SRResNet.from_config(model_cfg)
+        params = ckpt.restore_generator_params(results_dir, prefix)
+        return cls(model, params, **kw)
+
+    def upscale(self, image: np.ndarray) -> np.ndarray:
+        """HWC (or NHWC) image in [0, 1] → upscaled HWC float32 in [0, 1]."""
+        arr = np.asarray(image, dtype=np.float32)
+        if arr.max() > 1.5:  # uint8-range input
+            arr = arr / 255.0
+        batched = arr[None] if arr.ndim == 3 else arr
+        sr = infer_step(self.model.apply, self.params, jnp.asarray(batched))
+        if self.enhance_output:
+            sr = enhance(sr)
+        out = np.clip(np.asarray(sr), 0.0, 1.0)
+        return out[0] if arr.ndim == 3 else out
+
+    def upscale_file(self, in_path: str, out_path: str) -> None:
+        save_image(self.upscale(load_image(in_path)), out_path)
+
+
+def upscale(image: np.ndarray, upscaler: Optional[Upscaler] = None) -> np.ndarray:
+    """Convenience wrapper: SR one image with a (randomly initialized, unless
+    provided) flagship generator."""
+    upscaler = upscaler or Upscaler.random_init()
+    return upscaler.upscale(image)

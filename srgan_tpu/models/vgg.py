@@ -1,0 +1,135 @@
+"""VGG19 feature extractor for the perceptual loss.
+
+The reference wraps torchvision's pretrained VGG19, frozen, and returns
+feature maps at named layers with an early exit (``src/models.py:123-151``);
+the perceptual loss is L1 between SR/HR features (``src/utils.py:154-166``).
+In the shipped training loop the extractor is built but the loss is disabled
+(``src/train.py:49,157``) — same default here.
+
+TPU-native: a Flax VGG19 ``features`` trunk in NHWC. Pretrained weights can
+be ported from a locally cached torchvision checkpoint with
+``load_torch_vgg19_weights`` (no network access is assumed — SURVEY.md §2
+lists the extractor as optional); without a checkpoint the extractor runs
+with random weights, which still exercises the full code path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# torchvision vgg19.features layer indices → canonical names
+# (reference ``src/models.py:127-133``).
+LAYER_NAME_MAPPING = {
+    3: "conv1_2",
+    8: "conv2_2",
+    17: "conv3_3",
+    26: "conv4_3",
+    35: "conv5_3",
+}
+
+# VGG19 `features` architecture: conv channel counts with 'M' = max-pool.
+_VGG19_CFG = (
+    64, 64, "M",
+    128, 128, "M",
+    256, 256, 256, 256, "M",
+    512, 512, 512, 512, "M",
+    512, 512, 512, 512, "M",
+)
+
+
+class VGG19Features(nn.Module):
+    """VGG19 convolutional trunk returning a dict of named feature maps,
+    stopping at the deepest requested layer (the reference's early exit,
+    ``src/models.py:145-150``)."""
+
+    layers: Sequence[str] = ("conv3_3", "conv4_3")
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jax.Array]:
+        wanted = set(self.layers)
+        features: Dict[str, jax.Array] = {}
+        x = x.astype(self.compute_dtype)
+        torch_idx = 0  # index in torchvision's nn.Sequential
+        for item in _VGG19_CFG:
+            if item == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                torch_idx += 1
+                continue
+            x = nn.Conv(
+                int(item), (3, 3), padding=1, dtype=self.compute_dtype,
+                name=f"conv_{torch_idx}",
+            )(x)
+            conv_idx = torch_idx
+            torch_idx += 1
+            x = nn.relu(x)
+            # torchvision: the *post-ReLU* index names the activation
+            name = LAYER_NAME_MAPPING.get(torch_idx)
+            torch_idx += 1
+            del conv_idx
+            if name in wanted:
+                features[name] = x
+            if len(features) == len(wanted):
+                break
+        return features
+
+
+def perceptual_loss(
+    sr: jax.Array, hr: jax.Array, apply_fn, params
+) -> jax.Array:
+    """Summed L1 distance between extracted feature maps
+    (reference ``perceptal_loss`` [sic], ``src/utils.py:154-166``)."""
+    f_real = apply_fn({"params": params}, hr)
+    f_fake = apply_fn({"params": params}, sr)
+    loss = 0.0
+    for key in f_real:
+        loss = loss + jnp.mean(jnp.abs(f_fake[key] - f_real[key]))
+    return loss
+
+
+def init_vgg_extractor(
+    key: jax.Array, layers: Sequence[str] = ("conv3_3", "conv4_3")
+) -> Tuple[VGG19Features, Any]:
+    model = VGG19Features(layers=layers)
+    sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(key, sample)
+    params = variables["params"]
+    ckpt = _find_cached_torch_vgg19()
+    if ckpt is not None:
+        params = load_torch_vgg19_weights(ckpt, params)
+    return model, params
+
+
+def _find_cached_torch_vgg19():
+    hub_dir = os.path.expanduser("~/.cache/torch/hub/checkpoints")
+    if os.path.isdir(hub_dir):
+        for f in sorted(os.listdir(hub_dir)):
+            if f.startswith("vgg19") and f.endswith(".pth"):
+                return os.path.join(hub_dir, f)
+    return None
+
+
+def load_torch_vgg19_weights(path: str, params):
+    """Port a torchvision VGG19 ``state_dict`` (OIHW convs) into the Flax
+    param tree (HWIO convs). Only the conv layers present in ``params`` are
+    filled."""
+    import torch  # local import: torch is an optional weight-porting dep
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    new_params = dict(params)
+    for pname in params:
+        # pname like "conv_{torch_idx}"
+        idx = int(pname.split("_")[1])
+        w = state[f"features.{idx}.weight"].numpy()  # OIHW
+        b = state[f"features.{idx}.bias"].numpy()
+        new_params[pname] = {
+            "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),  # HWIO
+            "bias": jnp.asarray(b),
+        }
+    return new_params

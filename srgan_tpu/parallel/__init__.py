@@ -1,0 +1,19 @@
+from srgan_tpu.parallel.mesh import (
+    batch_sharding,
+    initialize_multihost,
+    make_mesh,
+    process_shard_info,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding",
+    "initialize_multihost",
+    "make_mesh",
+    "process_shard_info",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,139 @@
+"""Orbax checkpointing of full train states + two-phase fine-tune resume.
+
+The reference saves only model ``state_dict``s at the very end of training
+(``src/train.py:123-125``) and its resume path reloads rank-0 weights,
+divides both learning rates by 5 and renames the run prefix to
+"Post-Training" (``src/train.py:51-59``) — the README's
+"pixel-train-then-GAN-finetune" mechanism (``readme.md:14``). Here the FULL
+state (params + Adam moments + pool bookkeeping + epoch) round-trips through
+Orbax, which the reference cannot do at all (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, List, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from srgan_tpu.config import ModelConfig, TrainConfig
+from srgan_tpu.training.pool import GeneratorPool, PoolMember
+from srgan_tpu.training.train_state import TrainState
+
+FINETUNE_PREFIX = "Post-Training"  # ``src/train.py:58``
+
+
+def _ckpt_dir(results_dir: str, prefix: str) -> str:
+    return os.path.abspath(os.path.join(results_dir, f"{prefix}_ckpt"))
+
+
+def save_checkpoint(
+    results_dir: str,
+    prefix: str,
+    *,
+    pool: GeneratorPool,
+    d_state: Optional[TrainState],
+    epoch: int,
+    model_config: Optional[ModelConfig] = None,
+) -> str:
+    """Write a complete training snapshot (all generators, discriminator,
+    pool bookkeeping, epoch counter). The generator architecture is recorded
+    in a JSON sidecar so inference can rebuild the right model without the
+    training config (the reference cannot: its ``.pth`` files carry no
+    architecture info and eval hardcodes ``SRResNet()``,
+    ``src/evaluation.py:23``)."""
+    path = _ckpt_dir(results_dir, prefix)
+    if model_config is not None:
+        os.makedirs(results_dir, exist_ok=True)
+        with open(os.path.join(results_dir, f"{prefix}_model.json"), "w") as f:
+            json.dump(dataclasses.asdict(model_config), f, indent=2)
+    payload = {
+        "generators": [
+            {"params": m.state.params, "opt_state": m.state.opt_state}
+            for m in pool.members
+        ],
+        "pool_meta": pool.snapshot(),
+        "epoch": epoch,
+    }
+    if d_state is not None:
+        payload["discriminator"] = {
+            "params": d_state.params,
+            "opt_state": d_state.opt_state,
+        }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(
+    results_dir: str,
+    prefix: str,
+    *,
+    pool: GeneratorPool,
+    d_state: Optional[TrainState],
+):
+    """Restore in place into freshly-initialized states (shape/dtype
+    templates). Returns (pool, d_state, epoch)."""
+    path = _ckpt_dir(results_dir, prefix)
+    template = {
+        "generators": [
+            {"params": m.state.params, "opt_state": m.state.opt_state}
+            for m in pool.members
+        ],
+        "pool_meta": pool.snapshot(),
+        "epoch": 0,
+    }
+    if d_state is not None:
+        template["discriminator"] = {
+            "params": d_state.params,
+            "opt_state": d_state.opt_state,
+        }
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path, target=template)
+
+    for m, g in zip(pool.members, restored["generators"]):
+        m.state = m.state.replace(params=g["params"], opt_state=g["opt_state"])
+    for m, meta in zip(pool.members, restored["pool_meta"]):
+        m.running_loss = float(meta["running_loss"])
+        m.pre_loss = float(meta["pre_loss"])
+        m.gan_updates = int(meta["gan_updates"])
+        m.pixel_updates = int(meta["pixel_updates"])
+    if d_state is not None and "discriminator" in restored:
+        d = restored["discriminator"]
+        d_state = d_state.replace(params=d["params"], opt_state=d["opt_state"])
+    return pool, d_state, int(restored["epoch"])
+
+
+def load_model_config(results_dir: str, prefix: str) -> Optional[ModelConfig]:
+    """Read the architecture sidecar written by :func:`save_checkpoint`."""
+    path = os.path.join(results_dir, f"{prefix}_model.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return ModelConfig(**json.load(f))
+
+
+def restore_generator_params(results_dir: str, prefix: str, index: int = 0):
+    """Raw (template-free) restore of one generator's params — the light
+    path for inference, no optimizer state or Trainer needed."""
+    path = _ckpt_dir(results_dir, prefix)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path)
+    return restored["generators"][index]["params"]
+
+
+def finetune_entry(cfg: TrainConfig) -> TrainConfig:
+    """The two-phase resume transform: LRs ÷ finetune_lr_divisor, prefix →
+    "Post-Training" (``src/train.py:51-59``)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg,
+        lr_generator=cfg.lr_generator / cfg.finetune_lr_divisor,
+        lr_discriminator=cfg.lr_discriminator / cfg.finetune_lr_divisor,
+        run_prefix=FINETUNE_PREFIX,
+    )

@@ -1,0 +1,317 @@
+"""The training loop: single-generator DDP-parity path AND the
+multi-generator competitive pool, over a data-parallel mesh.
+
+Capability map to the reference (``src/train.py``):
+  - ``train_example``              → :func:`train`      (``train.py:27-139``)
+  - ``train_one_epoch``            → :meth:`Trainer.train_epoch`
+  - ``train_generator``            → jit steps in ``srgan_tpu.training.steps``
+  - ``train_discriminator``        → ditto
+  - ``validate`` (comparison PNG)  → :meth:`Trainer.validate`  (``train.py:233-260``)
+  - ``compute_score`` (PSNR/SSIM)  → :meth:`Trainer.compute_score` (``train.py:263-294``)
+  - end-of-run checkpoint + curve  → Orbax snapshot + rating-curve PNG
+                                      (``train.py:123-137``)
+
+TPU-native differences: one process drives all local devices (vs one process
+per GPU); batches are sharded over the 1-D data mesh and parameters
+replicated, so XLA emits the gradient all-reduce over ICI; loss scalars stay
+on device until epoch-end logging (no per-batch ``.item()`` / empty_cache
+stalls, ``train.py:196-201``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srgan_tpu.config import Config
+from srgan_tpu.data.pipeline import TrainPipeline
+from srgan_tpu.models.discriminator import init_discriminator
+from srgan_tpu.models.srresnet import init_generator
+from srgan_tpu.ops.resize import resize_bilinear
+from srgan_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    process_shard_info,
+    replicate,
+)
+from srgan_tpu.training import checkpoint as ckpt
+from srgan_tpu.training.pool import GeneratorPool, PoolMember
+from srgan_tpu.training.steps import (
+    discriminator_step,
+    eval_step,
+    generator_gan_step,
+    generator_pixel_step,
+    infer_step,
+)
+from srgan_tpu.training.train_state import TrainState, linear_lr
+from srgan_tpu.utils.logging import MetricsLogger, Throughput
+from srgan_tpu.utils.plotting import save_comparison, save_rating_curve
+
+
+class Trainer:
+    def __init__(self, cfg: Config, *, use_mesh: bool = True):
+        self.cfg = cfg
+        if cfg.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        self.mesh = make_mesh(cfg.mesh) if use_mesh else None
+        self.data_sharding = (
+            batch_sharding(self.mesh, cfg.mesh.data_axis) if self.mesh else None
+        )
+
+        key = jax.random.key(cfg.train.seed)
+        keys = jax.random.split(key, cfg.pool.num_generators + 2)
+        lr_hw = (
+            cfg.data.hr_size[0] // cfg.data.upscale_factor,
+            cfg.data.hr_size[1] // cfg.data.upscale_factor,
+        )
+
+        members: List[PoolMember] = []
+        self.g_model = None
+        for i in range(cfg.pool.num_generators):
+            model, params = init_generator(cfg.model, keys[i], sample_hw=lr_hw)
+            self.g_model = model
+            if self.mesh:
+                params = replicate(self.mesh, params)
+            state = TrainState.create(
+                apply_fn=model.apply,
+                params=params,
+                b1=cfg.train.adam_b1,
+                b2=cfg.train.adam_b2,
+            )
+            members.append(PoolMember(state=state))
+        self.pool = GeneratorPool(members, cfg.pool, seed=cfg.train.seed)
+
+        self.d_state: Optional[TrainState] = None
+        self.d_model = None
+        if cfg.train.use_gan:
+            d_model, d_params = init_discriminator(
+                cfg.discriminator, keys[-1], sample_hw=cfg.data.hr_size
+            )
+            self.d_model = d_model
+            if self.mesh:
+                d_params = replicate(self.mesh, d_params)
+            self.d_state = TrainState.create(
+                apply_fn=d_model.apply,
+                params=d_params,
+                b1=cfg.train.adam_b1,
+                b2=cfg.train.adam_b2,
+            )
+
+        self.logger = MetricsLogger(cfg.train.results_dir, cfg.train.run_prefix)
+        self.throughput = Throughput()
+        self.history = {"epochs": [], "psnr": [], "ssim": []}
+
+    # ------------------------------------------------------------------ #
+
+    def train_epoch(self, pipeline: TrainPipeline, epoch: int) -> dict:
+        cfg = self.cfg
+        g_lr = jnp.asarray(
+            linear_lr(cfg.train, cfg.train.lr_generator, epoch), jnp.float32
+        )
+        d_lr = jnp.asarray(
+            linear_lr(cfg.train, cfg.train.lr_discriminator, epoch), jnp.float32
+        )
+        epoch_key = jax.random.fold_in(jax.random.key(cfg.train.seed), epoch)
+
+        sums = {"g_loss": 0.0, "com_loss": 0.0, "tv_loss": 0.0,
+                "g_d_loss": 0.0, "d_loss": 0.0}
+        n_batches = 0
+        self.throughput.begin()
+
+        for hr, lr_imgs in pipeline.epoch(epoch, epoch_key):
+            # Discriminator step (shared across the pool), when GAN is on —
+            # the reference's (commented) per-batch D update, train.py:155.
+            if self.d_state is not None:
+                self.d_state, d_metrics = discriminator_step(
+                    self.d_state,
+                    self.pool.leader.state.apply_fn,
+                    self.pool.leader.state.params,
+                    hr,
+                    lr_imgs,
+                    d_lr,
+                )
+                sums["d_loss"] += float(d_metrics["d_loss"])
+
+            # Each pool member updates on this batch, in loss-sorted order
+            # (readme.md:4: "每个batch按顺序训练").
+            for i, member in enumerate(self.pool.members):
+                use_gan = (
+                    self.d_state is not None and self.pool.choose_gan(i)
+                )
+                if use_gan:
+                    member.state, metrics = generator_gan_step(
+                        member.state,
+                        self.d_state.apply_fn,
+                        self.d_state.params,
+                        hr,
+                        lr_imgs,
+                        g_lr,
+                    )
+                else:
+                    member.state, metrics = generator_pixel_step(
+                        member.state, hr, lr_imgs, g_lr
+                    )
+                # The ordering signal is the contrastive/pixel loss only.
+                self.pool.record_loss(
+                    i, float(metrics["com_loss"]), used_gan=use_gan
+                )
+                if i == 0:
+                    for k in ("g_loss", "com_loss", "tv_loss", "g_d_loss"):
+                        sums[k] += float(metrics[k])
+            n_batches += 1
+            self.throughput.add(hr.shape[0])
+
+        avg = {k: (v / max(1, n_batches)) for k, v in sums.items()}
+        avg["images_per_sec"] = self.throughput.images_per_sec()
+        avg["n_batches"] = n_batches
+        return avg
+
+    # ------------------------------------------------------------------ #
+
+    def compute_score(self, val_pipeline: TrainPipeline, epoch: int) -> tuple:
+        """Batched on-device PSNR/SSIM over ≤ score_max_batches val batches
+        (``src/train.py:263-294`` incl. the 30-batch cap)."""
+        state = self.pool.leader.state
+        key = jax.random.fold_in(
+            jax.random.key(self.cfg.train.seed + 977), epoch
+        )
+        psnrs, ssims = [], []
+        for b, (hr, lr_imgs) in enumerate(val_pipeline.epoch(epoch, key)):
+            if b >= self.cfg.train.score_max_batches:
+                break
+            p, s = eval_step(state.apply_fn, state.params, hr, lr_imgs)
+            psnrs.append(p)
+            ssims.append(s)
+        if not psnrs:
+            return float("nan"), float("nan")
+        return float(jnp.mean(jnp.stack(psnrs))), float(jnp.mean(jnp.stack(ssims)))
+
+    def validate(self, val_pipeline: TrainPipeline, epoch: int) -> Optional[str]:
+        """One val batch → [LR↑ | SR | HR] comparison PNG
+        (``src/train.py:233-260``)."""
+        state = self.pool.leader.state
+        key = jax.random.fold_in(
+            jax.random.key(self.cfg.train.seed + 1389), epoch
+        )
+        for hr, lr_imgs in val_pipeline.epoch(epoch, key):
+            sr = infer_step(state.apply_fn, state.params, lr_imgs)
+            lr_up = resize_bilinear(lr_imgs, (hr.shape[1], hr.shape[2]))
+            return save_comparison(
+                np.asarray(lr_up),
+                np.asarray(sr),
+                np.asarray(hr),
+                self.cfg.train.results_dir,
+                self.cfg.train.run_prefix,
+                epoch,
+                rank=jax.process_index(),
+            )
+        return None
+
+    # ------------------------------------------------------------------ #
+
+    def train(
+        self,
+        train_folder: Optional[str] = None,
+        val_folder: Optional[str] = None,
+        *,
+        continue_training: bool = False,
+    ) -> dict:
+        """Full run — the ``train_example`` equivalent (``src/train.py:27-139``).
+
+        ``continue_training=True`` restores the checkpoint and enters the
+        fine-tune phase (LR/5, "Post-Training" prefix, ``train.py:51-59``).
+        """
+        cfg = self.cfg
+        if continue_training:
+            self.pool, self.d_state, _ = ckpt.restore_checkpoint(
+                cfg.train.results_dir,
+                cfg.train.run_prefix,
+                pool=self.pool,
+                d_state=self.d_state,
+            )
+            self.cfg = cfg = cfg.replace(train=ckpt.finetune_entry(cfg.train))
+            self.logger = MetricsLogger(cfg.train.results_dir, cfg.train.run_prefix)
+
+        num_shards, shard_index = process_shard_info()
+        pipeline = TrainPipeline(
+            cfg.data,
+            train_folder or cfg.data.train_dir,
+            use_split=True,
+            num_shards=num_shards,
+            shard_index=shard_index,
+            seed=cfg.train.seed,
+            sharding=self.data_sharding,
+        )
+        val_pipeline = TrainPipeline(
+            cfg.data,
+            val_folder or cfg.data.val_dir,
+            use_split=False,
+            num_shards=num_shards,
+            shard_index=shard_index,
+            seed=cfg.train.seed + 1,
+            sharding=self.data_sharding,
+        )
+
+        os.makedirs(cfg.train.results_dir, exist_ok=True)
+        last = {}
+        try:
+            for epoch in range(cfg.train.num_epochs):
+                t0 = time.perf_counter()
+                train_metrics = self.train_epoch(pipeline, epoch)
+                self.pool.end_epoch()
+
+                if (epoch + 1) % cfg.train.validate_every == 0:
+                    self.validate(val_pipeline, epoch)
+
+                psnr, ssim = self.compute_score(val_pipeline, epoch)
+                self.history["epochs"].append(epoch + 1)
+                self.history["psnr"].append(psnr)
+                self.history["ssim"].append(ssim)
+
+                record = {
+                    "epoch": epoch + 1,
+                    "psnr": psnr,
+                    "ssim": ssim,
+                    "wall_s": time.perf_counter() - t0,
+                    "pool": self.pool.snapshot(),
+                    **train_metrics,
+                }
+                self.logger.log(record)
+                last = record
+                print(
+                    f"Epoch [{epoch + 1}/{cfg.train.num_epochs}] "
+                    f"{cfg.train.run_prefix} Loss: {train_metrics['g_loss']:.6f} "
+                    f"psnr={psnr:.3f} ssim={ssim:.4f} "
+                    f"({train_metrics['images_per_sec']:.1f} img/s)"
+                )
+
+            ckpt.save_checkpoint(
+                cfg.train.results_dir,
+                cfg.train.run_prefix,
+                pool=self.pool,
+                d_state=self.d_state,
+                epoch=cfg.train.num_epochs,
+                model_config=cfg.model,
+            )
+            save_rating_curve(
+                self.history["epochs"],
+                self.history["psnr"],
+                self.history["ssim"],
+                cfg.train.results_dir,
+                cfg.train.run_prefix,
+                rank=jax.process_index(),
+            )
+        finally:
+            pipeline.close()
+            val_pipeline.close()
+        return last
+
+
+def train(cfg: Config, **kwargs) -> dict:
+    """Functional entry point (the ``train_example`` CLI surface)."""
+    return Trainer(cfg).train(**kwargs)

@@ -1,0 +1,136 @@
+"""Fused jit train/eval steps.
+
+Each reference train function (``train_generator``, ``train_discriminator``,
+``src/train.py:175-230``) maps to ONE compiled XLA executable: forward + loss
++ backward + Adam update fused, no host sync inside the loop (the reference
+calls ``.item()`` and ``cuda.empty_cache()`` every batch —
+``train.py:196-201`` — which serializes the GPU; here loss scalars stay on
+device until logging).
+
+Two generator steps exist — pixel and GAN — because the multi-generator
+scheduler picks between them per batch with host-side randomness
+(SURVEY.md §7(c)): both stay compiled, the choice is a cheap Python branch.
+
+All steps are pure functions of (state, batch, lr, ...) and are safe to wrap
+in ``shard_map`` / pjit over a data mesh: batch-mean losses turn into global
+means via XLA's automatic collective insertion (the DDP-allreduce
+equivalent).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from srgan_tpu.ops.gan_loss import discriminator_loss, generator_adversarial_loss
+from srgan_tpu.ops.metrics import batched_psnr_ssim
+from srgan_tpu.ops.recon_loss import reconstruction_loss
+from srgan_tpu.training.train_state import TrainState
+
+
+def generator_pixel_loss_fn(params, apply_fn, hr, lr_imgs):
+    """Pixel-phase objective: edge-weighted L1 + masked TV
+    (``src/train.py:194-195``: ``g_loss = com_loss + tv_loss``)."""
+    sr = apply_fn({"params": params}, lr_imgs)
+    com_loss, tv_loss = reconstruction_loss(hr, sr)
+    g_loss = com_loss + tv_loss
+    return g_loss, {"com_loss": com_loss, "tv_loss": tv_loss}
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def generator_pixel_step(
+    g_state: TrainState, hr: jax.Array, lr_imgs: jax.Array, lr: jax.Array
+) -> Tuple[TrainState, dict]:
+    """One pixel-loss generator update (``train_generator``,
+    ``src/train.py:175-203``, with the adversarial term at its shipped
+    default of 0)."""
+    (g_loss, aux), grads = jax.value_and_grad(
+        generator_pixel_loss_fn, has_aux=True
+    )(g_state.params, g_state.apply_fn, hr, lr_imgs)
+    new_state = g_state.apply_gradients(grads, lr)
+    metrics = {
+        "g_loss": g_loss,
+        "com_loss": aux["com_loss"],
+        "tv_loss": aux["tv_loss"],
+        "g_d_loss": jnp.zeros(()),
+    }
+    return new_state, metrics
+
+
+def generator_gan_loss_fn(params, apply_fn, d_apply_fn, d_params, hr, lr_imgs):
+    """GAN-phase objective: pixel terms + relativistic adversarial term
+    ``mean(tanh(real_preds - fake_preds))`` (``src/train.py:184-192``, the
+    commented-out generator adversarial path, active in BASELINE configs 2+)."""
+    sr = apply_fn({"params": params}, lr_imgs)
+    com_loss, tv_loss = reconstruction_loss(hr, sr)
+    fake_preds = d_apply_fn({"params": d_params}, sr)
+    real_preds = jax.lax.stop_gradient(d_apply_fn({"params": d_params}, hr))
+    g_d_loss = generator_adversarial_loss(real_preds, fake_preds)
+    g_loss = com_loss + tv_loss + g_d_loss
+    return g_loss, {
+        "com_loss": com_loss,
+        "tv_loss": tv_loss,
+        "g_d_loss": g_d_loss,
+    }
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("d_apply_fn",))
+def generator_gan_step(
+    g_state: TrainState,
+    d_apply_fn,
+    d_params: Any,
+    hr: jax.Array,
+    lr_imgs: jax.Array,
+    lr: jax.Array,
+) -> Tuple[TrainState, dict]:
+    (g_loss, aux), grads = jax.value_and_grad(generator_gan_loss_fn, has_aux=True)(
+        g_state.params, g_state.apply_fn, d_apply_fn, d_params, hr, lr_imgs
+    )
+    new_state = g_state.apply_gradients(grads, lr)
+    metrics = {"g_loss": g_loss, **aux}
+    return new_state, metrics
+
+
+def discriminator_loss_fn(d_params, d_apply_fn, g_apply_fn, g_params, hr, lr_imgs):
+    """Relativistic tanh discriminator objective
+    ``mean(tanh(fake_preds - real_preds))`` (``src/train.py:206-230``)."""
+    sr = jax.lax.stop_gradient(g_apply_fn({"params": g_params}, lr_imgs))
+    real_preds = d_apply_fn({"params": d_params}, hr)
+    fake_preds = d_apply_fn({"params": d_params}, sr)
+    return discriminator_loss(real_preds, fake_preds)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("g_apply_fn",))
+def discriminator_step(
+    d_state: TrainState,
+    g_apply_fn,
+    g_params: Any,
+    hr: jax.Array,
+    lr_imgs: jax.Array,
+    lr: jax.Array,
+) -> Tuple[TrainState, dict]:
+    d_loss, grads = jax.value_and_grad(discriminator_loss_fn)(
+        d_state.params, d_state.apply_fn, g_apply_fn, g_params, hr, lr_imgs
+    )
+    new_state = d_state.apply_gradients(grads, lr)
+    return new_state, {"d_loss": d_loss}
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn",))
+def eval_step(apply_fn, params, hr: jax.Array, lr_imgs: jax.Array):
+    """Score one batch on device: SR forward + per-image PSNR/SSIM
+    (replaces ``compute_score``'s per-image host loop,
+    ``src/train.py:263-294``). SR output is intentionally unclamped here,
+    matching the reference's training-metric quirk (SURVEY.md appendix)."""
+    sr = apply_fn({"params": params}, lr_imgs)
+    psnr_b, ssim_b = batched_psnr_ssim(sr, hr)
+    return jnp.mean(psnr_b), jnp.mean(ssim_b)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn",))
+def infer_step(apply_fn, params, lr_imgs: jax.Array) -> jax.Array:
+    """Plain SR forward for validation grids / inference."""
+    return apply_fn({"params": params}, lr_imgs)

@@ -1,0 +1,68 @@
+"""Train state: params + Adam state + schedule, as a JAX pytree.
+
+Replaces the reference's torch ``optim.Adam`` + ``LinearLR`` pair
+(``src/train.py:61-71``). The learning rate is passed into the update as a
+traced scalar rather than baked into the optimizer, reproducing torch's
+"scheduler mutates optimizer.lr once per epoch" semantics
+(``lr_scheduler.step()``, ``train.py:110``) without recompiling: the jit'd
+step takes ``lr`` as an argument and one executable serves every epoch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import optax
+from flax import struct
+
+from srgan_tpu.config import TrainConfig
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: optax.OptState
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, *, apply_fn, params, b1: float = 0.9, b2: float = 0.999):
+        # scale_by_adam only — the (negative) learning rate is applied per
+        # step so schedules are plain host-side floats.
+        tx = optax.scale_by_adam(b1=b1, b2=b2, eps=1e-8)
+        return cls(
+            params=params,
+            opt_state=tx.init(params),
+            apply_fn=apply_fn,
+            tx=tx,
+        )
+
+    def apply_gradients(self, grads, lr) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(params=new_params, opt_state=new_opt_state)
+
+
+def linear_lr(cfg: TrainConfig, base_lr: float, epoch: int) -> float:
+    """torch ``LinearLR(start_factor=1, end_factor=0.01,
+    total_iters=num_epochs)`` (``src/train.py:70-71``): the factor
+    interpolates linearly per epoch-step and stays at ``end_factor`` after
+    ``total_iters`` epochs."""
+    t = min(epoch, cfg.num_epochs)
+    frac = t / cfg.num_epochs
+    factor = cfg.lr_start_factor + (cfg.lr_end_factor - cfg.lr_start_factor) * frac
+    return base_lr * factor
+
+
+def cosine_lr(
+    cfg: TrainConfig, base_lr: float, epoch: int, eta_min_ratio: float = 0.5
+) -> float:
+    """The reference's commented-out CosineAnnealingLR variant
+    (``src/train.py:68-69``), provided for parity."""
+    import math
+
+    t_max = max(1, cfg.num_epochs - cfg.num_epochs // 5)
+    eta_min = base_lr * eta_min_ratio
+    t = min(epoch, t_max)
+    return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * t / t_max)) / 2

@@ -1,0 +1,127 @@
+"""Data pipeline tests: folder datasets, corrupt-file skipping, sampler
+sharding/reshuffle semantics, device prefetch batches."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from srgan_tpu.config import DataConfig
+from srgan_tpu.data.dataset import (
+    ImageFolderDataset,
+    PairedImageDataset,
+    split_indices,
+)
+from srgan_tpu.data.pipeline import EpochSampler, TrainPipeline
+
+
+def _make_images(folder, n, size=(40, 30), prefix="img"):
+    os.makedirs(folder, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        arr = rng.integers(0, 255, (*size, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(folder, f"{prefix}_{i:03d}.png"))
+
+
+class TestImageFolderDataset:
+    def test_scan_and_load(self, tmp_path):
+        folder = str(tmp_path / "train")
+        _make_images(folder, 4)
+        ds = ImageFolderDataset(folder, hr_size=(32, 48))
+        assert len(ds) == 4
+        img = ds[0]
+        assert img.shape == (32, 48, 3)
+        assert img.dtype == np.float32
+        assert 0.0 <= img.min() and img.max() <= 1.0
+
+    def test_corrupt_file_skipped(self, tmp_path):
+        folder = str(tmp_path / "train")
+        _make_images(folder, 2)
+        with open(os.path.join(folder, "bad.png"), "wb") as f:
+            f.write(b"not an image")
+        ds = ImageFolderDataset(folder, hr_size=(16, 16))
+        # scan still lists it; decode returns None (skip, utils.py:38-40)
+        assert len(ds) == 3
+        results = [ds[i] for i in range(3)]
+        assert sum(r is None for r in results) == 1
+
+    def test_extension_filter(self, tmp_path):
+        folder = str(tmp_path / "train")
+        _make_images(folder, 1)
+        open(os.path.join(folder, "notes.txt"), "w").write("x")
+        assert len(ImageFolderDataset(folder, (8, 8))) == 1
+
+
+class TestPairedDataset:
+    def test_pairs(self, tmp_path):
+        root = str(tmp_path)
+        _make_images(os.path.join(root, "LRbicx4"), 3, size=(10, 8))
+        _make_images(os.path.join(root, "original"), 3, size=(40, 32))
+        ds = PairedImageDataset(root, "LRbicx4", "original")
+        assert len(ds) == 3
+        a, b = ds[0]
+        assert a.shape == (10, 8, 3) and b.shape == (40, 32, 3)
+
+    def test_count_mismatch_asserts(self, tmp_path):
+        root = str(tmp_path)
+        _make_images(os.path.join(root, "a"), 2)
+        _make_images(os.path.join(root, "b"), 3)
+        with pytest.raises(AssertionError):
+            PairedImageDataset(root, "a", "b")
+
+
+class TestSampler:
+    def test_epoch_reshuffle(self):
+        s = EpochSampler(np.arange(100), seed=0)
+        e0, e1 = s.epoch_indices(0), s.epoch_indices(1)
+        assert not np.array_equal(e0, e1)  # set_epoch reshuffling
+        assert np.array_equal(np.sort(e0), np.arange(100))
+        # deterministic per (seed, epoch)
+        assert np.array_equal(e0, EpochSampler(np.arange(100), seed=0).epoch_indices(0))
+
+    def test_sharding_partitions(self):
+        idx = np.arange(64)
+        shards = [
+            EpochSampler(idx, num_shards=4, shard_index=r, seed=3).epoch_indices(5)
+            for r in range(4)
+        ]
+        union = np.sort(np.concatenate(shards))
+        assert np.array_equal(union, idx)
+        for a in range(4):
+            for b in range(a + 1, 4):
+                assert not set(shards[a]) & set(shards[b])
+
+    def test_split_indices(self):
+        tr, val = split_indices(10, 0.7, seed=1)
+        assert len(tr) == 7 and len(val) == 3
+        assert not set(tr) & set(val)
+
+
+class TestTrainPipeline:
+    def test_batches(self, tmp_path):
+        folder = str(tmp_path / "train")
+        _make_images(folder, 6)
+        cfg = DataConfig(
+            hr_size=(16, 16), upscale_factor=2, batch_size=2,
+            split_ratio=1.0, num_workers=2,
+        )
+        pipe = TrainPipeline(cfg, folder, use_split=False)
+        assert pipe.steps_per_epoch() == 3
+        batches = list(pipe.epoch(0, jax.random.key(0)))
+        assert len(batches) == 3
+        hr, lr = batches[0]
+        assert hr.shape == (2, 16, 16, 3)
+        assert lr.shape == (2, 8, 8, 3)
+        pipe.close()
+
+    def test_split_used(self, tmp_path):
+        folder = str(tmp_path / "train")
+        _make_images(folder, 10)
+        cfg = DataConfig(hr_size=(8, 8), upscale_factor=2, batch_size=1,
+                         split_ratio=0.7)
+        pipe = TrainPipeline(cfg, folder, use_split=True)
+        assert len(pipe.sampler.indices) == 7  # 70% kept, 30% discarded
+        pipe.close()

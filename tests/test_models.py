@@ -1,0 +1,148 @@
+"""Model shape / parameter-count parity tests (SURVEY.md §2, §7 step 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srgan_tpu.config import DiscriminatorConfig, ModelConfig
+from srgan_tpu.models import (
+    Discriminator,
+    SRResNet,
+    init_discriminator,
+    init_generator,
+)
+from srgan_tpu.models.enhancer import enhance
+
+
+def _count(params):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+class TestSRResNet:
+    def test_reference_head_param_count(self):
+        """Reference SRResNet(3, 64, 16, 4x) has ~1.55M params
+        (``src/models.py:44-87``; GroupNorm affine == BatchNorm affine):
+        conv1 15,616 + 16 blocks x 74,112 + conv2 36,928 + 2 upsample
+        stages x 147,712 + conv3 15,555 = 1,549,315."""
+        _, params = init_generator(
+            ModelConfig(head="reference"), jax.random.key(0)
+        )
+        assert _count(params) == 1_549_315
+
+    def test_subpixel_head_param_count(self):
+        """Default subpixel head swaps the 15,555-param conv9x9 tail for a
+        76,812-param 5x5 phase conv (same function class, see srresnet.py)."""
+        _, params = init_generator(ModelConfig(), jax.random.key(0))
+        assert _count(params) == 1_549_315 - 15_555 + 76_812
+
+    def test_head_equivalence(self, rng):
+        """subpixel(ref-transformed weights) == reference, pixel for pixel:
+        conv9x9∘pixel_shuffle == pixel_shuffle∘conv5x5 under the
+        ``reference_head_to_subpixel`` kernel mapping."""
+        from srgan_tpu.models.srresnet import reference_head_to_subpixel
+
+        cfg_ref = ModelConfig(
+            num_features=8, num_residuals=1, upscale_factor=2, head="reference"
+        )
+        model_ref, params_ref = init_generator(
+            cfg_ref, jax.random.key(0), sample_hw=(8, 8)
+        )
+        cfg_sub = ModelConfig(
+            num_features=8, num_residuals=1, upscale_factor=2, head="subpixel"
+        )
+        model_sub, params_sub = init_generator(
+            cfg_sub, jax.random.key(1), sample_hw=(8, 8)
+        )
+        # copy everything, transforming the tail conv
+        new = dict(params_ref)
+        tail_name = sorted(
+            k for k in params_ref if k.startswith("Conv_")
+        )[-1]
+        k5, b12 = reference_head_to_subpixel(
+            params_ref[tail_name]["kernel"], params_ref[tail_name]["bias"]
+        )
+        new[tail_name] = {"kernel": k5, "bias": b12}
+
+        x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+        y_ref = model_ref.apply({"params": params_ref}, x)
+        y_sub = model_sub.apply({"params": new}, x)
+        np.testing.assert_allclose(
+            np.asarray(y_sub), np.asarray(y_ref), rtol=1e-4, atol=1e-5
+        )
+
+    @pytest.mark.parametrize("factor", [2, 4])
+    def test_upscale_shapes(self, factor):
+        cfg = ModelConfig(num_features=16, num_residuals=2, upscale_factor=factor)
+        model, params = init_generator(cfg, jax.random.key(0), sample_hw=(8, 8))
+        out = model.apply({"params": params}, jnp.zeros((2, 8, 12, 3)))
+        assert out.shape == (2, 8 * factor, 12 * factor, 3)
+        assert out.dtype == jnp.float32
+
+    def test_fully_convolutional(self):
+        """Any spatial size works (reference ``models.py:80-87``)."""
+        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        model, params = init_generator(cfg, jax.random.key(0), sample_hw=(8, 8))
+        out = model.apply({"params": params}, jnp.zeros((1, 17, 23, 3)))
+        assert out.shape == (1, 34, 46, 3)
+
+    def test_bfloat16_compute_float32_params(self):
+        cfg = ModelConfig(
+            num_features=8, num_residuals=1, upscale_factor=2,
+            compute_dtype="bfloat16",
+        )
+        model, params = init_generator(cfg, jax.random.key(0), sample_hw=(8, 8))
+        for leaf in jax.tree.leaves(params):
+            assert leaf.dtype == jnp.float32
+        out = model.apply({"params": params}, jnp.zeros((1, 8, 8, 3)))
+        assert out.dtype == jnp.float32
+
+
+class TestDiscriminator:
+    def test_param_count(self):
+        """Reference Discriminator(3, 64) = 2,765,760 params
+        (``src/models.py:90-120``; InstanceNorm has no affine params)."""
+        _, params = init_discriminator(DiscriminatorConfig(), jax.random.key(0))
+        assert _count(params) == 2_765_760
+
+    def test_patch_output_shape_512x1024(self):
+        """Reference: (B, 512, 1, 3) NCHW for a 512x1024 input → NHWC
+        (B, 1, 3, 512) (SURVEY.md §2)."""
+        model, params = init_discriminator(
+            DiscriminatorConfig(), jax.random.key(0), sample_hw=(512, 1024)
+        )
+        out = model.apply({"params": params}, jnp.zeros((1, 512, 1024, 3)))
+        assert out.shape == (1, 1, 3, 512)
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0  # sigmoid
+
+    def test_min_size_guard(self):
+        model, params = init_discriminator(DiscriminatorConfig(), jax.random.key(0))
+        with pytest.raises(ValueError, match="too small"):
+            model.apply({"params": params}, jnp.zeros((1, 64, 64, 3)))
+
+    def test_min_input_size_exact(self):
+        """428 is the exact floor for the reference's 4-stage stack: 428
+        reaches a 1x1 patch output, 427 dies in the final pool."""
+        from srgan_tpu.models.discriminator import min_input_size
+
+        assert min_input_size(4) == 428
+        model, params = init_discriminator(
+            DiscriminatorConfig(), jax.random.key(0), sample_hw=(428, 428)
+        )
+        out = model.apply({"params": params}, jnp.zeros((1, 428, 428, 3)))
+        assert out.shape == (1, 1, 1, 512)
+
+    def test_shallow_discriminator(self):
+        """num_stages knob: a 2-stage critic works on small (>=28px) images."""
+        cfg = DiscriminatorConfig(num_filters=8, num_stages=2)
+        model, params = init_discriminator(cfg, jax.random.key(0))
+        out = model.apply({"params": params}, jnp.zeros((2, 32, 32, 3)))
+        assert out.shape[0] == 2 and out.shape[-1] == 16
+
+
+class TestEnhancer:
+    def test_shape_and_clamp(self, rng):
+        x = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+        out = enhance(x)
+        assert out.shape == x.shape
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0

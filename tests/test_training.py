@@ -1,0 +1,272 @@
+"""Training-runtime tests: optimizer parity, LR schedule, jit steps,
+pool scheduler, checkpoint round-trip (SURVEY.md §4 plan items a/c/e)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srgan_tpu.config import (
+    Config,
+    DataConfig,
+    DiscriminatorConfig,
+    ModelConfig,
+    PoolConfig,
+    TrainConfig,
+)
+from srgan_tpu.models.srresnet import init_generator
+from srgan_tpu.training.pool import (
+    GeneratorPool,
+    PoolMember,
+    interpolate_params,
+    sort_lists_in_same_order,
+)
+from srgan_tpu.training.steps import (
+    eval_step,
+    generator_pixel_step,
+)
+from srgan_tpu.training.train_state import TrainState, linear_lr
+
+
+def _tiny_gen(seed=0):
+    cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+    model, params = init_generator(cfg, jax.random.key(seed), sample_hw=(8, 8))
+    return model, params
+
+
+class TestTrainState:
+    def test_adam_matches_torch(self, rng):
+        """Our scale_by_adam + external-lr update must match torch.optim.Adam
+        step-for-step (the reference's optimizer, ``src/train.py:61-62``)."""
+        torch = pytest.importorskip("torch")
+
+        w0 = rng.standard_normal((4, 3)).astype(np.float32)
+        grads = [rng.standard_normal((4, 3)).astype(np.float32) for _ in range(3)]
+        lr = 1e-2
+
+        # torch side
+        wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        opt = torch.optim.Adam([wt], lr=lr)
+        for g in grads:
+            opt.zero_grad()
+            wt.grad = torch.from_numpy(g.copy())
+            opt.step()
+
+        # jax side
+        state = TrainState.create(apply_fn=None, params={"w": jnp.asarray(w0)})
+        for g in grads:
+            state = state.apply_gradients({"w": jnp.asarray(g)}, jnp.asarray(lr))
+
+        np.testing.assert_allclose(
+            np.asarray(state.params["w"]), wt.detach().numpy(), rtol=1e-4, atol=1e-5
+        )
+
+    def test_linear_lr_schedule(self):
+        """torch LinearLR(1 → 0.01 over N epochs) parity
+        (``src/train.py:70-71``)."""
+        torch = pytest.importorskip("torch")
+
+        cfg = TrainConfig(num_epochs=10)
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.Adam([p], lr=1e-4)
+        sched = torch.optim.lr_scheduler.LinearLR(
+            opt, start_factor=1, end_factor=0.01, total_iters=10
+        )
+        for epoch in range(10):
+            want = opt.param_groups[0]["lr"]
+            got = linear_lr(cfg, 1e-4, epoch)
+            assert got == pytest.approx(want, rel=1e-6), f"epoch {epoch}"
+            sched.step()
+
+
+class TestGeneratorStep:
+    def test_loss_decreases(self, rng):
+        model, params = _tiny_gen()
+        state = TrainState.create(apply_fn=model.apply, params=params)
+        hr = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+        lr_imgs = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+        losses = []
+        for _ in range(5):
+            state, metrics = generator_pixel_step(
+                state, hr, lr_imgs, jnp.asarray(1e-3)
+            )
+            losses.append(float(metrics["g_loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_metrics_structure(self, rng):
+        model, params = _tiny_gen()
+        state = TrainState.create(apply_fn=model.apply, params=params)
+        hr = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        lr_imgs = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+        _, metrics = generator_pixel_step(state, hr, lr_imgs, jnp.asarray(1e-4))
+        assert set(metrics) == {"g_loss", "com_loss", "tv_loss", "g_d_loss"}
+        assert float(metrics["g_d_loss"]) == 0.0  # pixel phase, train.py:192
+
+
+class TestGanSteps:
+    def _tiny_disc(self):
+        from srgan_tpu.models.discriminator import init_discriminator
+
+        cfg = DiscriminatorConfig(num_filters=8, num_stages=2)
+        model, params = init_discriminator(cfg, jax.random.key(5))
+        return model, params
+
+    def test_generator_gan_step(self, rng):
+        from srgan_tpu.training.steps import generator_gan_step
+
+        model, params = _tiny_gen()
+        g_state = TrainState.create(apply_fn=model.apply, params=params)
+        d_model, d_params = self._tiny_disc()
+        # 64px HR → 3x3 patch output; 32px would give a degenerate 1x1 map
+        # that InstanceNorm zeroes (all predictions exactly 0.5).
+        hr = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+        lr_imgs = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+        g_state, metrics = generator_gan_step(
+            g_state, d_model.apply, d_params, hr, lr_imgs, jnp.asarray(1e-4)
+        )
+        assert np.isfinite(float(metrics["g_loss"]))
+        # adversarial term is live in the GAN phase (train.py:190 semantics)
+        assert float(metrics["g_d_loss"]) != 0.0
+
+    def test_discriminator_step_moves_loss(self, rng):
+        from srgan_tpu.training.steps import discriminator_step
+
+        g_model, g_params = _tiny_gen()
+        d_model, d_params = self._tiny_disc()
+        d_state = TrainState.create(apply_fn=d_model.apply, params=d_params)
+        hr = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+        lr_imgs = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+        losses = []
+        for _ in range(4):
+            d_state, m = discriminator_step(
+                d_state, g_model.apply, g_params, hr, lr_imgs, jnp.asarray(1e-3)
+            )
+            losses.append(float(m["d_loss"]))
+        # minimizing mean(tanh(fake - real)) drives the loss down
+        assert losses[-1] < losses[0]
+
+
+class TestEvalStep:
+    def test_psnr_reasonable(self, rng):
+        model, params = _tiny_gen()
+        hr = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+        lr_imgs = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+        p, s = eval_step(model.apply, params, hr, lr_imgs)
+        assert np.isfinite(float(p)) and -1.0 <= float(s) <= 1.0
+
+
+class TestPool:
+    def _mk_pool(self, n, cfg=None):
+        members = []
+        for i in range(n):
+            model, params = _tiny_gen(seed=i)
+            members.append(
+                PoolMember(TrainState.create(apply_fn=model.apply, params=params))
+            )
+        return GeneratorPool(members, cfg or PoolConfig(num_generators=n))
+
+    def test_sort_helper_matches_reference_semantics(self):
+        """``shuffle_lists_in_same_order`` sorts parallel lists by the last
+        list, descending (``src/utils.py:102-110``)."""
+        a, b = ["x", "y", "z"], [1.0, 3.0, 2.0]
+        sa, sb = sort_lists_in_same_order(a, b)
+        assert sb == [3.0, 2.0, 1.0] and sa == ["y", "z", "x"]
+
+    def test_interpolate_params(self):
+        p = {"w": jnp.zeros(3)}
+        t = {"w": jnp.ones(3)}
+        out = interpolate_params(p, t, alpha=0.2)
+        np.testing.assert_allclose(np.asarray(out["w"]), 0.2)
+
+    def test_gan_gate_regimes(self):
+        cfg = PoolConfig(
+            num_generators=3, starting_gan_loss=0.5,
+            p_gan_above=0.1, p_gan_leader=0.9, p_gan_follower=0.1,
+        )
+        pool = self._mk_pool(3, cfg)
+        # above threshold → rarely GAN
+        pool.members[0].running_loss = 0.8
+        pool.members[1].running_loss = 0.9
+        pool.members[2].running_loss = 1.0
+        assert pool.gan_probability(0) == 0.1
+        # below threshold: leader mostly GAN, laggards mostly pixel
+        pool.members[0].running_loss = 0.2
+        pool.members[1].running_loss = 0.3
+        pool.members[2].running_loss = 0.4
+        assert pool.gan_probability(0) == 0.9
+        assert pool.gan_probability(1) == 0.1
+        # a non-leader at the pool minimum → mostly GAN
+        pool.members[1].running_loss = 0.1
+        assert pool.gan_probability(1) == 0.9
+
+    def test_epoch_resort_and_mutual_learning(self):
+        cfg = PoolConfig(num_generators=2, mutual_alpha=0.5)
+        pool = self._mk_pool(2, cfg)
+        pool.members[0].running_loss = 0.9  # worse
+        pool.members[1].running_loss = 0.1  # better
+        strong_params = pool.members[1].state.params
+        weak_params = pool.members[0].state.params
+        expected = interpolate_params(weak_params, strong_params, 0.5)
+        pool.end_epoch()
+        # ascending sort: the better model leads
+        assert pool.members[0].running_loss == 0.1
+        # weak member pulled toward the strong one
+        got = pool.members[1].state.params
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(got)[0]),
+            np.asarray(jax.tree.leaves(expected)[0]),
+            rtol=1e-6,
+        )
+
+    def test_no_gan_before_signal(self):
+        pool = self._mk_pool(1)
+        assert pool.gan_probability(0) == 0.0  # infinite running loss
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path, rng):
+        from srgan_tpu.training import checkpoint as ckpt
+
+        model, params = _tiny_gen()
+        state = TrainState.create(apply_fn=model.apply, params=params)
+        pool = GeneratorPool([PoolMember(state)], PoolConfig())
+        pool.members[0].running_loss = 0.42
+
+        # mutate params so the restore target differs
+        hr = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        lr_imgs = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+        new_state, _ = generator_pixel_step(
+            TrainState.create(apply_fn=model.apply, params=params),
+            hr, lr_imgs, jnp.asarray(1e-3),
+        )
+        pool.members[0].state = new_state
+        saved = jax.tree.map(np.asarray, new_state.params)
+
+        ckpt.save_checkpoint(
+            str(tmp_path), "Test", pool=pool, d_state=None, epoch=7
+        )
+
+        # fresh pool with different params
+        model2, params2 = _tiny_gen(seed=99)
+        fresh = GeneratorPool(
+            [PoolMember(TrainState.create(apply_fn=model2.apply, params=params2))],
+            PoolConfig(),
+        )
+        restored_pool, _, epoch = ckpt.restore_checkpoint(
+            str(tmp_path), "Test", pool=fresh, d_state=None
+        )
+        assert epoch == 7
+        assert restored_pool.members[0].running_loss == pytest.approx(0.42)
+        got = jax.tree.map(np.asarray, restored_pool.members[0].state.params)
+        jax.tree.map(np.testing.assert_array_equal, got, saved)
+
+    def test_finetune_entry(self):
+        from srgan_tpu.training.checkpoint import FINETUNE_PREFIX, finetune_entry
+
+        cfg = TrainConfig(lr_generator=1e-4, lr_discriminator=5e-5)
+        out = finetune_entry(cfg)
+        assert out.lr_generator == pytest.approx(2e-5)
+        assert out.lr_discriminator == pytest.approx(1e-5)
+        assert out.run_prefix == FINETUNE_PREFIX
