@@ -103,6 +103,10 @@ class PoolConfig:
     # the reference ships sorts descending (``utils.py:107``). We follow the
     # README (deviation recorded in SURVEY.md §7(5)).
     sort_ascending: bool = True
+    # Execute the pool as ONE vmapped train state with a leading pool axis
+    # (one fused step updates all members — the TPU-idiomatic layout,
+    # SURVEY.md §2 EP row) instead of sequential per-member steps.
+    stacked: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

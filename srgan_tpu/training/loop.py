@@ -85,6 +85,9 @@ class Trainer:
             )
             members.append(PoolMember(state=state))
         self.pool = GeneratorPool(members, cfg.pool, seed=cfg.train.seed)
+        # Pools with >1 member execute vmap-stacked by default: one fused
+        # step updates every member (srgan_tpu.training.stacked_pool).
+        self.use_stacked = cfg.pool.stacked and cfg.pool.num_generators > 1
 
         self.d_state: Optional[TrainState] = None
         self.d_model = None
@@ -102,13 +105,122 @@ class Trainer:
                 b2=cfg.train.adam_b2,
             )
 
+        self.spool = None
+        if self.use_stacked:
+            from srgan_tpu.training.stacked_pool import StackedGeneratorPool
+
+            self.spool = StackedGeneratorPool.create(
+                [m.state for m in members], cfg.pool, seed=cfg.train.seed
+            )
+
         self.logger = MetricsLogger(cfg.train.results_dir, cfg.train.run_prefix)
         self.throughput = Throughput()
         self.history = {"epochs": [], "psnr": [], "ssim": []}
 
     # ------------------------------------------------------------------ #
 
+    def _leader(self):
+        """(apply_fn, params) of the current best generator."""
+        if self.spool is not None:
+            return self.g_model.apply, self.spool.leader_params()
+        state = self.pool.leader.state
+        return state.apply_fn, state.params
+
+    def _sync_pool_from_stacked(self):
+        """Mirror the stacked state back into the member-list pool (the
+        checkpoint format and the sequential-execution representation)."""
+        if self.spool is None:
+            return
+        from srgan_tpu.training.stacked_pool import unstack_states
+
+        states = unstack_states(self.spool.state, self.spool.n)
+        for m, s, meta in zip(self.pool.members, states, self.spool.snapshot()):
+            m.state = m.state.replace(params=s.params, opt_state=s.opt_state)
+            m.running_loss = meta["running_loss"]
+            m.pre_loss = meta["pre_loss"]
+            m.gan_updates = meta["gan_updates"]
+            m.pixel_updates = meta["pixel_updates"]
+
+    def _rebuild_stacked_from_pool(self):
+        if self.spool is None:
+            return
+        from srgan_tpu.training.stacked_pool import StackedGeneratorPool
+
+        self.spool = StackedGeneratorPool.create(
+            [m.state for m in self.pool.members],
+            self.cfg.pool,
+            seed=self.cfg.train.seed,
+        )
+        import numpy as _np
+
+        self.spool.running_loss = _np.asarray(
+            [m.running_loss for m in self.pool.members]
+        )
+        self.spool.pre_loss = _np.asarray(
+            [m.pre_loss for m in self.pool.members]
+        )
+
+    def _train_epoch_stacked(self, pipeline: TrainPipeline, epoch: int) -> dict:
+        """One epoch with the whole pool updated by a single fused step per
+        batch (srgan_tpu.training.stacked_pool)."""
+        from srgan_tpu.training.stacked_pool import stacked_pool_step
+
+        cfg = self.cfg
+        g_lr = jnp.asarray(
+            linear_lr(cfg.train, cfg.train.lr_generator, epoch), jnp.float32
+        )
+        d_lr = jnp.asarray(
+            linear_lr(cfg.train, cfg.train.lr_discriminator, epoch), jnp.float32
+        )
+        epoch_key = jax.random.fold_in(jax.random.key(cfg.train.seed), epoch)
+
+        sums = {"g_loss": 0.0, "com_loss": 0.0, "tv_loss": 0.0,
+                "g_d_loss": 0.0, "d_loss": 0.0}
+        n_batches = 0
+        self.throughput.begin()
+        use_gan = self.d_state is not None
+        d_apply = self.d_state.apply_fn if use_gan else None
+
+        for hr, lr_imgs in pipeline.epoch(epoch, epoch_key):
+            if use_gan:
+                self.d_state, d_metrics = discriminator_step(
+                    self.d_state,
+                    self.g_model.apply,
+                    self.spool.leader_params(),
+                    hr,
+                    lr_imgs,
+                    d_lr,
+                )
+                sums["d_loss"] += float(d_metrics["d_loss"])
+
+            gan_mask = jnp.asarray(self.spool.sample_gan_mask(use_gan))
+            self.spool.state, metrics = stacked_pool_step(
+                self.spool.state,
+                self.g_model.apply,
+                d_apply,
+                self.d_state.params if use_gan else None,
+                hr,
+                lr_imgs,
+                gan_mask,
+                g_lr,
+            )
+            com = np.asarray(metrics["com_loss"])  # (N,) one small fetch
+            self.spool.record_losses(com)
+            sums["g_loss"] += float(np.asarray(metrics["g_loss"])[0])
+            sums["com_loss"] += float(com[0])
+            sums["tv_loss"] += float(np.asarray(metrics["tv_loss"])[0])
+            sums["g_d_loss"] += float(np.asarray(metrics["g_d_loss"])[0])
+            n_batches += 1
+            self.throughput.add(hr.shape[0])
+
+        avg = {k: (v / max(1, n_batches)) for k, v in sums.items()}
+        avg["images_per_sec"] = self.throughput.images_per_sec()
+        avg["n_batches"] = n_batches
+        return avg
+
     def train_epoch(self, pipeline: TrainPipeline, epoch: int) -> dict:
+        if self.spool is not None:
+            return self._train_epoch_stacked(pipeline, epoch)
         cfg = self.cfg
         g_lr = jnp.asarray(
             linear_lr(cfg.train, cfg.train.lr_generator, epoch), jnp.float32
@@ -176,7 +288,7 @@ class Trainer:
     def compute_score(self, val_pipeline: TrainPipeline, epoch: int) -> tuple:
         """Batched on-device PSNR/SSIM over ≤ score_max_batches val batches
         (``src/train.py:263-294`` incl. the 30-batch cap)."""
-        state = self.pool.leader.state
+        apply_fn, params = self._leader()
         key = jax.random.fold_in(
             jax.random.key(self.cfg.train.seed + 977), epoch
         )
@@ -184,7 +296,7 @@ class Trainer:
         for b, (hr, lr_imgs) in enumerate(val_pipeline.epoch(epoch, key)):
             if b >= self.cfg.train.score_max_batches:
                 break
-            p, s = eval_step(state.apply_fn, state.params, hr, lr_imgs)
+            p, s = eval_step(apply_fn, params, hr, lr_imgs)
             psnrs.append(p)
             ssims.append(s)
         if not psnrs:
@@ -194,12 +306,12 @@ class Trainer:
     def validate(self, val_pipeline: TrainPipeline, epoch: int) -> Optional[str]:
         """One val batch → [LR↑ | SR | HR] comparison PNG
         (``src/train.py:233-260``)."""
-        state = self.pool.leader.state
+        apply_fn, params = self._leader()
         key = jax.random.fold_in(
             jax.random.key(self.cfg.train.seed + 1389), epoch
         )
         for hr, lr_imgs in val_pipeline.epoch(epoch, key):
-            sr = infer_step(state.apply_fn, state.params, lr_imgs)
+            sr = infer_step(apply_fn, params, lr_imgs)
             lr_up = resize_bilinear(lr_imgs, (hr.shape[1], hr.shape[2]))
             return save_comparison(
                 np.asarray(lr_up),
@@ -234,6 +346,7 @@ class Trainer:
                 pool=self.pool,
                 d_state=self.d_state,
             )
+            self._rebuild_stacked_from_pool()
             self.cfg = cfg = cfg.replace(train=ckpt.finetune_entry(cfg.train))
             self.logger = MetricsLogger(cfg.train.results_dir, cfg.train.run_prefix)
 
@@ -263,7 +376,10 @@ class Trainer:
             for epoch in range(cfg.train.num_epochs):
                 t0 = time.perf_counter()
                 train_metrics = self.train_epoch(pipeline, epoch)
-                self.pool.end_epoch()
+                if self.spool is not None:
+                    self.spool.end_epoch()
+                else:
+                    self.pool.end_epoch()
 
                 if (epoch + 1) % cfg.train.validate_every == 0:
                     self.validate(val_pipeline, epoch)
@@ -278,7 +394,11 @@ class Trainer:
                     "psnr": psnr,
                     "ssim": ssim,
                     "wall_s": time.perf_counter() - t0,
-                    "pool": self.pool.snapshot(),
+                    "pool": (
+                        self.spool.snapshot()
+                        if self.spool is not None
+                        else self.pool.snapshot()
+                    ),
                     **train_metrics,
                 }
                 self.logger.log(record)
@@ -290,6 +410,7 @@ class Trainer:
                     f"({train_metrics['images_per_sec']:.1f} img/s)"
                 )
 
+            self._sync_pool_from_stacked()
             ckpt.save_checkpoint(
                 cfg.train.results_dir,
                 cfg.train.run_prefix,

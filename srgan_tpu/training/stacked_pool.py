@@ -1,0 +1,245 @@
+"""vmap-stacked generator pool: the TPU-idiomatic execution of the
+multi-generator algorithm.
+
+The reference's pool is a Python list of models trained sequentially per
+batch (``readme.md:4``). On TPU, N small (1.5M-param) generators are far
+better executed as ONE vmapped program over a leading pool axis (SURVEY.md
+§2, expert-parallel row: "per-generator TrainStates, optionally
+vmap-stacked"): a single fused executable updates all N members on the same
+batch — N× the MXU work per dispatch, no per-member launch latency, and the
+epoch-end bookkeeping (re-sort, mutual learning) becomes gathers/lerps over
+the leading axis.
+
+Semantics preserved relative to :mod:`srgan_tpu.training.pool`:
+  - each member still trains on every batch (the reference trains members
+    sequentially on the same batch; with independent Adam states the result
+    is order-independent, so the parallel update is equivalent);
+  - running-loss EMA, ascending re-sort, and weak←strong interpolation
+    follow the same config knobs;
+  - the per-member pixel-vs-GAN choice is a (N,) float mask sampled on the
+    host per batch and applied inside the step (``jnp.where`` on the loss
+    terms) — all members stay in the one compiled program either way.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srgan_tpu.config import PoolConfig
+from srgan_tpu.ops.gan_loss import generator_adversarial_loss
+from srgan_tpu.ops.recon_loss import reconstruction_loss
+from srgan_tpu.training.train_state import TrainState
+
+
+def stack_states(states) -> TrainState:
+    """List of per-member TrainStates → one TrainState with a leading pool
+    axis on every array leaf. Static fields (apply_fn, tx) are taken from
+    the first member — every member must share the architecture. The Adam
+    ``count`` becomes an (N,) vector; updates run under vmap (see
+    :func:`stacked_pool_step`) so per-member bias correction stays exact."""
+    params = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[s.params for s in states]
+    )
+    opt_state = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[s.opt_state for s in states]
+    )
+    return states[0].replace(params=params, opt_state=opt_state)
+
+
+def unstack_states(stacked: TrainState, n: int):
+    return [
+        stacked.replace(
+            params=jax.tree.map(lambda x: x[i], stacked.params),
+            opt_state=jax.tree.map(lambda x: x[i], stacked.opt_state),
+        )
+        for i in range(n)
+    ]
+
+
+def _member_losses(params, apply_fn, hr, lr_imgs):
+    sr = apply_fn({"params": params}, lr_imgs)
+    com_loss, tv_loss = reconstruction_loss(hr, sr)
+    return com_loss, tv_loss, sr
+
+
+def _stacked_loss_fn(stacked_params, apply_fn, d_apply_fn, d_params,
+                     hr, lr_imgs, gan_mask):
+    """Mean over members of the per-member objective; grads decouple because
+    each member's params only touch its own term."""
+
+    def one(params, mask):
+        com, tv, sr = _member_losses(params, apply_fn, hr, lr_imgs)
+        if d_apply_fn is not None:
+            fake = d_apply_fn({"params": d_params}, sr)
+            real = jax.lax.stop_gradient(d_apply_fn({"params": d_params}, hr))
+            g_d = generator_adversarial_loss(real, fake)
+        else:
+            g_d = jnp.zeros(())
+        loss = com + tv + mask * g_d
+        return loss, (com, tv, g_d)
+
+    losses, aux = jax.vmap(one)(stacked_params, gan_mask)
+    # sum (not mean): keeps each member's gradient identical to its solo
+    # update (d sum / d member_i = d member_i's loss).
+    return jnp.sum(losses), aux
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("apply_fn", "d_apply_fn")
+)
+def stacked_pool_step(
+    stacked_state: TrainState,
+    apply_fn,
+    d_apply_fn,
+    d_params: Any,
+    hr: jax.Array,
+    lr_imgs: jax.Array,
+    gan_mask: jax.Array,
+    lr: jax.Array,
+) -> Tuple[TrainState, dict]:
+    """One fused update of ALL pool members on one batch.
+
+    ``gan_mask``: (N,) float — 1.0 where the member takes the adversarial
+    term this batch (host-sampled Bernoulli per the Starting_GAN_loss gate).
+    """
+    grad_fn = jax.grad(_stacked_loss_fn, has_aux=True)
+    grads, (com, tv, g_d) = grad_fn(
+        stacked_state.params, apply_fn, d_apply_fn, d_params,
+        hr, lr_imgs, gan_mask,
+    )
+
+    # Per-member Adam under vmap: each slice sees its own scalar `count`.
+    def member_update(g, o, p):
+        updates, new_o = stacked_state.tx.update(g, o, p)
+        new_p = jax.tree.map(lambda pp, u: pp - lr * u, p, updates)
+        return new_p, new_o
+
+    new_params, new_opt = jax.vmap(member_update)(
+        grads, stacked_state.opt_state, stacked_state.params
+    )
+    new_state = stacked_state.replace(params=new_params, opt_state=new_opt)
+    metrics = {"com_loss": com, "tv_loss": tv, "g_d_loss": g_d,
+               "g_loss": com + tv + gan_mask * g_d}
+    return new_state, metrics
+
+
+@jax.jit
+def permute_members(stacked_state: TrainState, perm: jax.Array) -> TrainState:
+    """Epoch-end re-sort: gather every leaf along the pool axis."""
+    return jax.tree.map(lambda x: x[perm], stacked_state)
+
+
+@functools.partial(jax.jit, static_argnames=("alpha",))
+def mutual_learning_lerp(
+    stacked_params, alpha: float = 0.2
+) -> Any:
+    """Weak-learns-from-strong on the stacked axis: every non-leader member
+    moves toward member 0 (``interpolate_models`` semantics,
+    ``src/utils.py:113-115``), in one fused elementwise kernel."""
+
+    def lerp(x):
+        leader = x[0:1]
+        followers = alpha * leader + (1.0 - alpha) * x[1:]
+        return jnp.concatenate([leader, followers], axis=0)
+
+    return jax.tree.map(lerp, stacked_params)
+
+
+class StackedGeneratorPool:
+    """Driver-side bookkeeping around the stacked train state. Mirrors the
+    :class:`~srgan_tpu.training.pool.GeneratorPool` scheduler exactly, with
+    device-side execution of the member updates."""
+
+    def __init__(
+        self,
+        stacked_state: TrainState,
+        n: int,
+        cfg: PoolConfig,
+        seed: int = 0,
+    ):
+        self.state = stacked_state
+        self.n = n
+        self.cfg = cfg
+        self._rng = np.random.default_rng(seed)
+        self.running_loss = np.full(n, np.inf)
+        self.pre_loss = np.full(n, np.inf)
+        self.gan_updates = np.zeros(n, np.int64)
+        self.pixel_updates = np.zeros(n, np.int64)
+
+    @classmethod
+    def create(cls, states, cfg: PoolConfig, seed: int = 0):
+        return cls(stack_states(states), len(states), cfg, seed)
+
+    # -- scheduler (same regimes as GeneratorPool.gan_probability) -------- #
+
+    def gan_probabilities(self) -> np.ndarray:
+        p = np.zeros(self.n)
+        finite = np.isfinite(self.running_loss)
+        if not finite.any():
+            return p
+        min_loss = self.running_loss[finite].min()
+        for i in range(self.n):
+            if not finite[i]:
+                continue
+            if self.running_loss[i] > self.cfg.starting_gan_loss:
+                p[i] = self.cfg.p_gan_above
+            elif i == 0:
+                p[i] = self.cfg.p_gan_leader
+            elif self.running_loss[i] > min_loss:
+                p[i] = self.cfg.p_gan_follower
+            else:
+                p[i] = self.cfg.p_gan_leader
+        return p
+
+    def sample_gan_mask(self, use_gan: bool) -> np.ndarray:
+        if not use_gan:
+            return np.zeros(self.n, np.float32)
+        probs = self.gan_probabilities()
+        mask = (self._rng.random(self.n) < probs).astype(np.float32)
+        self.gan_updates += mask.astype(np.int64)
+        self.pixel_updates += (1 - mask).astype(np.int64)
+        return mask
+
+    def record_losses(self, com_losses: np.ndarray):
+        e = self.cfg.loss_ema
+        fresh = ~np.isfinite(self.running_loss)
+        self.running_loss = np.where(
+            fresh, com_losses, e * self.running_loss + (1 - e) * com_losses
+        )
+
+    def end_epoch(self):
+        order = np.argsort(self.running_loss)
+        if not self.cfg.sort_ascending:
+            order = order[::-1]
+        if not np.array_equal(order, np.arange(self.n)):
+            self.state = permute_members(self.state, jnp.asarray(order))
+            self.running_loss = self.running_loss[order]
+            self.gan_updates = self.gan_updates[order]
+            self.pixel_updates = self.pixel_updates[order]
+        self.pre_loss = self.running_loss.copy()
+        if self.cfg.mutual_learning and self.n > 1:
+            self.state = self.state.replace(
+                params=mutual_learning_lerp(
+                    self.state.params, self.cfg.mutual_alpha
+                )
+            )
+
+    def leader_params(self):
+        return jax.tree.map(lambda x: x[0], self.state.params)
+
+    def snapshot(self):
+        return [
+            {
+                "running_loss": float(self.running_loss[i]),
+                "pre_loss": float(self.pre_loss[i]),
+                "gan_updates": int(self.gan_updates[i]),
+                "pixel_updates": int(self.pixel_updates[i]),
+            }
+            for i in range(self.n)
+        ]

@@ -34,33 +34,36 @@ class TestMesh:
         assert mesh.devices.size == 8
 
     def test_batch_sharded_step_matches_single_device(self, rng):
-        """DP-sharded train step must produce the same update as the
-        unsharded one (the DDP-equivalence property)."""
+        """DP-sharded loss AND gradients must match the unsharded ones (the
+        DDP-equivalence property). Gradients are the strong check: Adam's
+        m̂/√v̂ normalization is scale-invariant, so comparing post-update
+        params could mask e.g. a missing mean-scaling; raw grads cannot."""
+        from srgan_tpu.training.steps import generator_pixel_loss_fn
+
         hr = rng.random((8, 16, 16, 3)).astype(np.float32)
         lr_imgs = rng.random((8, 8, 8, 3)).astype(np.float32)
+        state = _tiny_state()
 
-        # single device
-        s1 = _tiny_state()
-        s1, m1 = generator_pixel_step(
-            s1, jnp.asarray(hr), jnp.asarray(lr_imgs), jnp.asarray(1e-3)
+        def loss_and_grads(params, hr_a, lr_a):
+            grad_fn = jax.value_and_grad(generator_pixel_loss_fn, has_aux=True)
+            (loss, _), grads = grad_fn(params, state.apply_fn, hr_a, lr_a)
+            return loss, grads
+
+        l1, g1 = jax.jit(loss_and_grads)(
+            state.params, jnp.asarray(hr), jnp.asarray(lr_imgs)
         )
 
-        # sharded over the 8-device data mesh
         mesh = make_mesh(MeshConfig())
-        s2 = _tiny_state()
-        s2 = s2.replace(
-            params=replicate(mesh, s2.params),
-            opt_state=replicate(mesh, s2.opt_state),
-        )
+        params_r = replicate(mesh, state.params)
         hr_s = shard_batch(mesh, jnp.asarray(hr))
         lr_s = shard_batch(mesh, jnp.asarray(lr_imgs))
-        s2, m2 = generator_pixel_step(s2, hr_s, lr_s, jnp.asarray(1e-3))
+        l2, g2 = jax.jit(loss_and_grads)(params_r, hr_s, lr_s)
 
-        assert float(m1["g_loss"]) == pytest.approx(float(m2["g_loss"]), rel=1e-5)
-        p1 = jax.tree.leaves(jax.tree.map(np.asarray, s1.params))
-        p2 = jax.tree.leaves(jax.tree.map(np.asarray, s2.params))
-        for a, b in zip(p1, p2):
-            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+        assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
 
     def test_output_sharding_preserved(self, rng):
         """Donated, replicated state stays replicated after the step (no

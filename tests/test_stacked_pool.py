@@ -1,0 +1,144 @@
+"""vmap-stacked pool: equivalence with per-member sequential updates,
+scheduler regimes, epoch-end re-sort + mutual learning on the stacked axis."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srgan_tpu.config import ModelConfig, PoolConfig
+from srgan_tpu.models.srresnet import init_generator
+from srgan_tpu.training.stacked_pool import (
+    StackedGeneratorPool,
+    mutual_learning_lerp,
+    permute_members,
+    stack_states,
+    stacked_pool_step,
+    unstack_states,
+)
+from srgan_tpu.training.steps import generator_pixel_step
+from srgan_tpu.training.train_state import TrainState
+
+
+def _states(n):
+    out = []
+    model = None
+    for i in range(n):
+        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        model, params = init_generator(cfg, jax.random.key(i), sample_hw=(8, 8))
+        out.append(TrainState.create(apply_fn=model.apply, params=params))
+    return model, out
+
+
+class TestStackedStep:
+    def test_matches_sequential_gradients(self, rng):
+        """The stacked (vmapped, summed-loss) gradients == each member's
+        individual pixel-loss gradients. Gradients are the right check:
+        Adam's first-step update ≈ lr·sign(g), so fp reduction-order noise
+        in near-zero grads flips post-update params by O(lr) without any
+        mathematical difference."""
+        from srgan_tpu.training.stacked_pool import _stacked_loss_fn
+        from srgan_tpu.training.steps import generator_pixel_loss_fn
+
+        model, states = _states(3)
+        hr = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+        lr_imgs = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+
+        seq_grads = []
+        for s in states:
+            g = jax.grad(
+                lambda p: generator_pixel_loss_fn(
+                    p, model.apply, hr, lr_imgs
+                )[0]
+            )(s.params)
+            seq_grads.append(jax.tree.map(np.asarray, g))
+
+        stacked = stack_states(states)
+        grads, aux = jax.grad(_stacked_loss_fn, has_aux=True)(
+            stacked.params, model.apply, None, None, hr, lr_imgs, jnp.zeros(3)
+        )
+        for i in range(3):
+            got = jax.tree.map(lambda x: np.asarray(x[i]), grads)
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    a, b, rtol=1e-4, atol=1e-6
+                ),
+                got, seq_grads[i],
+            )
+
+    def test_stacked_step_updates_params(self, rng):
+        model, states = _states(2)
+        stacked = stack_states(states)
+        before = np.asarray(jax.tree.leaves(stacked.params)[0]).copy()
+        new_stacked, metrics = stacked_pool_step(
+            stacked, model.apply, None, None,
+            jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32)),
+            jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32)),
+            jnp.zeros(2), jnp.asarray(1e-3),
+        )
+        assert metrics["com_loss"].shape == (2,)
+        after = np.asarray(jax.tree.leaves(new_stacked.params)[0])
+        assert np.abs(after - before).max() > 0.0
+
+    def test_roundtrip_stack_unstack(self):
+        model, states = _states(2)
+        stacked = stack_states(states)
+        back = unstack_states(stacked, 2)
+        a = jax.tree.leaves(states[1].params)[0]
+        b = jax.tree.leaves(back[1].params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestStackedScheduler:
+    def _pool(self, cfg=None):
+        model, states = _states(3)
+        return StackedGeneratorPool.create(
+            states, cfg or PoolConfig(num_generators=3)
+        )
+
+    def test_mask_regimes(self):
+        cfg = PoolConfig(
+            num_generators=3, starting_gan_loss=0.5,
+            p_gan_above=0.0, p_gan_leader=1.0, p_gan_follower=0.0,
+        )
+        pool = self._pool(cfg)
+        pool.running_loss = np.array([0.2, 0.3, 0.4])
+        probs = pool.gan_probabilities()
+        assert probs[0] == 1.0 and probs[1] == 0.0
+        # above threshold -> p_gan_above for everyone
+        pool.running_loss = np.array([0.9, 0.8, 0.7])
+        assert (pool.gan_probabilities() == 0.0).all()
+        # no signal yet -> never GAN
+        pool.running_loss = np.full(3, np.inf)
+        assert (pool.gan_probabilities() == 0.0).all()
+
+    def test_record_and_sort(self):
+        pool = self._pool()
+        pool.record_losses(np.array([0.9, 0.1, 0.5]))
+        leader_before = np.asarray(
+            jax.tree.leaves(jax.tree.map(lambda x: x[1], pool.state.params))[0]
+        ).copy()
+        pool.end_epoch()
+        # ascending: old member 1 (loss .1) becomes leader
+        assert pool.running_loss[0] == pytest.approx(0.1)
+        leader_after = np.asarray(jax.tree.leaves(pool.leader_params())[0])
+        np.testing.assert_array_equal(leader_after, leader_before)
+
+    def test_mutual_learning_pulls_followers(self):
+        model, states = _states(2)
+        stacked = stack_states(states)
+        lerped = mutual_learning_lerp(stacked.params, alpha=0.5)
+        l0 = jax.tree.leaves(jax.tree.map(lambda x: x[0], stacked.params))[0]
+        l1 = jax.tree.leaves(jax.tree.map(lambda x: x[1], stacked.params))[0]
+        want = 0.5 * np.asarray(l0) + 0.5 * np.asarray(l1)
+        got = np.asarray(jax.tree.leaves(lerped)[0][1])
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_permute(self):
+        model, states = _states(3)
+        stacked = stack_states(states)
+        perm = jnp.asarray([2, 0, 1])
+        permuted = permute_members(stacked, perm)
+        a = jax.tree.leaves(states[2].params)[0]
+        b = jax.tree.leaves(jax.tree.map(lambda x: x[0], permuted.params))[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
