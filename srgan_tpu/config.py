@@ -32,6 +32,12 @@ class ModelConfig:
     # at full output resolution is HBM-bound); "reference" keeps the
     # reference's post-shuffle conv9x9 layout (``src/models.py:78,86``).
     head: str = "subpixel"
+    # jax.checkpoint each residual block (more FLOPs, far less activation
+    # HBM — bigger batches/images per chip).
+    remat: bool = False
+    # lax.scan over the residual tower (stacked block params): much faster
+    # compiles, same math. Changes the param-tree layout.
+    scan_blocks: bool = False
     # bfloat16 compute keeps the conv towers on the MXU's fast path; params
     # stay float32 and are cast per-op.
     compute_dtype: str = "float32"  # "float32" | "bfloat16"

@@ -41,12 +41,22 @@ def load_image_rgb(path: str) -> Optional[np.ndarray]:
         return None
 
 
-def load_hr_clip(path: str, hr_size: Tuple[int, int]) -> Optional[np.ndarray]:
+def load_hr_clip(
+    path: str, hr_size: Tuple[int, int], *, use_native: Optional[bool] = None
+) -> Optional[np.ndarray]:
     """Decode + bicubic resize to (height, width), float32 in [0, 1] HWC.
 
     Matches ``normalize_img_size``: PIL BICUBIC to the fixed clip size then
-    ToTensor scaling (``src/transformers.py:79-82``).
+    ToTensor scaling (``src/transformers.py:79-82``). Uses the native C++
+    loader (``srgan_tpu.native``, PIL-parity resampler, GIL-free) when its
+    shared library is built; PIL otherwise.
     """
+    if use_native is None:
+        use_native = _native_available()
+    if use_native:
+        from srgan_tpu import native
+
+        return native.load_image(path, hr_size[0], hr_size[1])
     try:
         with Image.open(path) as img:
             img = img.convert("RGB")
@@ -55,6 +65,15 @@ def load_hr_clip(path: str, hr_size: Tuple[int, int]) -> Optional[np.ndarray]:
             return np.asarray(img, dtype=np.float32) / 255.0
     except (UnidentifiedImageError, IOError, OSError):
         return None
+
+
+def _native_available() -> bool:
+    try:
+        from srgan_tpu import native
+
+        return native.available()
+    except Exception:
+        return False
 
 
 class ImageFolderDataset:

@@ -65,7 +65,13 @@ class EpochSampler:
 
 
 class HostBatcher:
-    """Threaded decode + batch assembly of HR clips (NHWC float32 numpy)."""
+    """Decode + batch assembly of HR clips (NHWC float32 numpy).
+
+    Fast path: one call into the native C++ loader per batch — decode and
+    PIL-parity resize run on ``num_workers`` C++ threads with the GIL
+    released (``srgan_tpu/native/loader.cpp``). Fallback: a Python thread
+    pool over PIL decodes.
+    """
 
     def __init__(
         self,
@@ -75,12 +81,41 @@ class HostBatcher:
     ):
         self.dataset = dataset
         self.batch_size = batch_size
-        self.pool = futures.ThreadPoolExecutor(max_workers=max(1, num_workers))
+        self.num_workers = max(1, num_workers)
+        from srgan_tpu.data.dataset import _native_available
+
+        self.native = _native_available()
+        self.pool = (
+            None
+            if self.native
+            else futures.ThreadPoolExecutor(max_workers=self.num_workers)
+        )
+
+    def _batch_native(self, chunk: np.ndarray) -> Optional[np.ndarray]:
+        from srgan_tpu import native
+
+        paths = [self.dataset.path(int(i)) for i in chunk]
+        h, w = self.dataset.hr_size
+        batch, ok = native.load_batch(paths, h, w, self.num_workers)
+        if ok.all():
+            return batch
+        if not ok.any():
+            return None
+        good = np.flatnonzero(ok)
+        # corrupt-file skip with static shapes: refill bad slots from good
+        for bad in np.flatnonzero(~ok):
+            batch[bad] = batch[good[bad % len(good)]]
+        return batch
 
     def batches(self, indices: np.ndarray) -> Iterator[np.ndarray]:
         n_full = len(indices) // self.batch_size
         for b in range(n_full):
             chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
+            if self.native:
+                batch = self._batch_native(chunk)
+                if batch is not None:
+                    yield batch
+                continue
             imgs = list(self.pool.map(self.dataset.__getitem__, chunk))
             imgs = [im for im in imgs if im is not None]  # corrupt-file skip
             if not imgs:
@@ -90,7 +125,8 @@ class HostBatcher:
             yield np.stack(imgs)
 
     def close(self):
-        self.pool.shutdown(wait=False)
+        if self.pool is not None:
+            self.pool.shutdown(wait=False)
 
 
 def _device_prefetch(

@@ -1,0 +1,97 @@
+"""ctypes binding for the native C++ image loader.
+
+Optional fast path: if ``libsrgan_loader.so`` has been built (``build.sh``),
+``load_batch`` decodes + resizes a whole batch on C++ threads with the GIL
+released (ctypes releases it for the call's duration). Falls back cleanly —
+callers check :func:`available` (see ``srgan_tpu.data.dataset``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libsrgan_loader.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.srgan_load_image.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.srgan_load_image.restype = ctypes.c_int
+    lib.srgan_load_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.srgan_load_batch.restype = ctypes.c_int
+    lib.srgan_loader_version.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def build() -> bool:
+    """Compile the shared library (g++). Returns True on success."""
+    script = os.path.join(os.path.dirname(__file__), "build.sh")
+    try:
+        subprocess.run(["sh", script], check=True, capture_output=True)
+    except (subprocess.CalledProcessError, OSError):
+        return False
+    global _lib
+    _lib = None
+    return _load() is not None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def load_image(path: str, out_h: int, out_w: int) -> Optional[np.ndarray]:
+    """Decode + PIL-parity bicubic resize one image to (out_h, out_w, 3)
+    float32 [0,1]; None for corrupt/unreadable files."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader not built (run native.build())")
+    out = np.empty((out_h, out_w, 3), np.float32)
+    rc = lib.srgan_load_image(
+        path.encode(), out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out if rc == 0 else None
+
+
+def load_batch(
+    paths: List[str], out_h: int, out_w: int, num_threads: int = 4
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode a batch on C++ threads. Returns (batch, ok_mask):
+    batch (n, out_h, out_w, 3) float32, ok_mask (n,) bool (False entries are
+    corrupt files — content undefined, drop them)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader not built (run native.build())")
+    n = len(paths)
+    out = np.empty((n, out_h, out_w, 3), np.float32)
+    status = np.empty(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.srgan_load_batch(
+        arr, n, out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    return out, status == 0

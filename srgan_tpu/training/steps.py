@@ -94,6 +94,50 @@ def generator_gan_step(
     return new_state, metrics
 
 
+def generator_perceptual_loss_fn(
+    params, apply_fn, vgg_apply_fn, vgg_params, hr, lr_imgs, weight
+):
+    """Pixel objective + VGG-feature L1 perceptual term.
+
+    The reference builds the VGG extractor but leaves the perceptual loss
+    commented out of the loop (``src/train.py:49,157``; loss at
+    ``src/utils.py:154-166``); here it is an opt-in step variant
+    (``TrainConfig`` / ``generator_perceptual_step``)."""
+    sr = apply_fn({"params": params}, lr_imgs)
+    com_loss, tv_loss = reconstruction_loss(hr, sr)
+    f_real = vgg_apply_fn({"params": vgg_params}, hr)
+    f_fake = vgg_apply_fn({"params": vgg_params}, sr)
+    p_loss = jnp.zeros(())
+    for key in f_real:
+        p_loss = p_loss + jnp.mean(jnp.abs(f_fake[key] - f_real[key]))
+    g_loss = com_loss + tv_loss + weight * p_loss
+    return g_loss, {
+        "com_loss": com_loss,
+        "tv_loss": tv_loss,
+        "p_loss": p_loss,
+    }
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("vgg_apply_fn",)
+)
+def generator_perceptual_step(
+    g_state: TrainState,
+    vgg_apply_fn,
+    vgg_params: Any,
+    hr: jax.Array,
+    lr_imgs: jax.Array,
+    lr: jax.Array,
+    weight: jax.Array,
+) -> Tuple[TrainState, dict]:
+    (g_loss, aux), grads = jax.value_and_grad(
+        generator_perceptual_loss_fn, has_aux=True
+    )(g_state.params, g_state.apply_fn, vgg_apply_fn, vgg_params, hr, lr_imgs,
+      weight)
+    new_state = g_state.apply_gradients(grads, lr)
+    return new_state, {"g_loss": g_loss, "g_d_loss": jnp.zeros(()), **aux}
+
+
 def discriminator_loss_fn(d_params, d_apply_fn, g_apply_fn, g_params, hr, lr_imgs):
     """Relativistic tanh discriminator objective
     ``mean(tanh(fake_preds - real_preds))`` (``src/train.py:206-230``)."""

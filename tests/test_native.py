@@ -1,0 +1,96 @@
+"""Native C++ loader: PIL-parity resampling, corrupt handling, batch API.
+
+Skipped entirely if the shared library can't be built (no g++/libjpeg)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from srgan_tpu import native
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    if not native.available() and not native.build():
+        pytest.skip("native loader cannot be built in this environment")
+
+
+def _png(tmp, arr, name="t.png"):
+    p = str(tmp / name)
+    Image.fromarray(arr).save(p)
+    return p
+
+
+class TestNativeLoader:
+    def test_pil_parity_downscale_exact(self, tmp_path, rng):
+        src = rng.integers(0, 255, (40, 56, 3)).astype(np.uint8)
+        p = _png(tmp_path, src)
+        pil = np.asarray(
+            Image.fromarray(src).resize((32, 24), Image.BICUBIC), np.float32
+        ) / 255.0
+        nat = native.load_image(p, 24, 32)
+        # downscale path is bit-exact vs PIL (per-pass uint8 quantization
+        # emulated); upscale may differ by 1/255 on <1% of pixels
+        np.testing.assert_array_equal(nat, pil)
+
+    def test_pil_parity_upscale_tolerance(self, tmp_path, rng):
+        src = rng.integers(0, 255, (24, 32, 3)).astype(np.uint8)
+        p = _png(tmp_path, src)
+        pil = np.asarray(
+            Image.fromarray(src).resize((64, 48), Image.BICUBIC), np.float32
+        ) / 255.0
+        nat = native.load_image(p, 48, 64)
+        d = np.abs(nat - pil)
+        assert d.max() <= 1.01 / 255.0
+        assert (d > 0).mean() < 0.01
+
+    def test_jpeg(self, tmp_path, rng):
+        src = rng.integers(0, 255, (30, 30, 3)).astype(np.uint8)
+        p = str(tmp_path / "t.jpg")
+        Image.fromarray(src).save(p, quality=95)
+        out = native.load_image(p, 16, 16)
+        assert out is not None and out.shape == (16, 16, 3)
+        assert 0.0 <= out.min() and out.max() <= 1.0
+
+    def test_corrupt_returns_none(self, tmp_path):
+        p = str(tmp_path / "bad.png")
+        with open(p, "wb") as f:
+            f.write(b"not an image at all")
+        assert native.load_image(p, 8, 8) is None
+        assert native.load_image(str(tmp_path / "missing.png"), 8, 8) is None
+
+    def test_batch(self, tmp_path, rng):
+        paths = []
+        for i in range(4):
+            src = rng.integers(0, 255, (20 + i, 20, 3)).astype(np.uint8)
+            paths.append(_png(tmp_path, src, f"b{i}.png"))
+        bad = str(tmp_path / "bad.png")
+        open(bad, "wb").write(b"junk")
+        paths.append(bad)
+        batch, ok = native.load_batch(paths, 16, 16, num_threads=2)
+        assert batch.shape == (5, 16, 16, 3)
+        assert ok.tolist() == [True, True, True, True, False]
+
+    def test_pipeline_uses_native(self, tmp_path, rng):
+        """HostBatcher picks the native path and matches the PIL dataset."""
+        import jax
+
+        from srgan_tpu.config import DataConfig
+        from srgan_tpu.data.pipeline import TrainPipeline
+
+        folder = tmp_path / "imgs"
+        folder.mkdir()
+        for i in range(4):
+            _png(folder, rng.integers(0, 255, (40, 40, 3)).astype(np.uint8),
+                 f"i{i}.png")
+        cfg = DataConfig(hr_size=(16, 16), upscale_factor=2, batch_size=2,
+                         split_ratio=1.0)
+        pipe = TrainPipeline(cfg, str(folder), use_split=False)
+        assert pipe.batcher.native
+        batches = list(pipe.epoch(0, jax.random.key(0)))
+        assert len(batches) == 2
+        hr, lr = batches[0]
+        assert hr.shape == (2, 16, 16, 3) and lr.shape == (2, 8, 8, 3)
+        pipe.close()
