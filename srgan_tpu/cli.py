@@ -38,6 +38,9 @@ def _add_train(sub):
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv compute (TPU MXU fast path)")
     p.add_argument("--debug-nans", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the run into this "
+                        "directory (view with TensorBoard/XProf)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
 
@@ -107,7 +110,13 @@ def main(argv=None):
                 debug_nans=args.debug_nans,
             ),
         )
-        Trainer(cfg).train(continue_training=args.continue_training)
+        if args.profile_dir:
+            from srgan_tpu.utils.profiling import trace
+
+            with trace(args.profile_dir):
+                Trainer(cfg).train(continue_training=args.continue_training)
+        else:
+            Trainer(cfg).train(continue_training=args.continue_training)
     elif args.cmd == "eval":
         from srgan_tpu.eval.evaluation import evaluate_model
 

@@ -1,3 +1,4 @@
+from srgan_tpu.parallel.spatial import upscale_spatially_sharded
 from srgan_tpu.parallel.mesh import (
     batch_sharding,
     initialize_multihost,
@@ -16,4 +17,5 @@ __all__ = [
     "replicate",
     "replicated",
     "shard_batch",
+    "upscale_spatially_sharded",
 ]
