@@ -181,6 +181,22 @@ class Trainer:
         use_gan = self.d_state is not None
         d_apply = self.d_state.apply_fn if use_gan else None
 
+        # One-batch-lagged metric fetch: the scheduler gates batch k with
+        # losses through batch k-1, so step k dispatches without waiting for
+        # step k-1's scalars (the reference instead syncs every batch via
+        # ``.item()``, ``train.py:196-198``). The lag is semantically benign:
+        # the gate reads an EMA.
+        pending = None
+
+        def drain(pending):
+            metrics = pending
+            com = np.asarray(metrics["com_loss"])  # (N,) small fetch
+            self.spool.record_losses(com)
+            sums["g_loss"] += float(np.asarray(metrics["g_loss"])[0])
+            sums["com_loss"] += float(com[0])
+            sums["tv_loss"] += float(np.asarray(metrics["tv_loss"])[0])
+            sums["g_d_loss"] += float(np.asarray(metrics["g_d_loss"])[0])
+
         for hr, lr_imgs in pipeline.epoch(epoch, epoch_key):
             if use_gan:
                 self.d_state, d_metrics = discriminator_step(
@@ -204,14 +220,13 @@ class Trainer:
                 gan_mask,
                 g_lr,
             )
-            com = np.asarray(metrics["com_loss"])  # (N,) one small fetch
-            self.spool.record_losses(com)
-            sums["g_loss"] += float(np.asarray(metrics["g_loss"])[0])
-            sums["com_loss"] += float(com[0])
-            sums["tv_loss"] += float(np.asarray(metrics["tv_loss"])[0])
-            sums["g_d_loss"] += float(np.asarray(metrics["g_d_loss"])[0])
+            if pending is not None:
+                drain(pending)
+            pending = metrics
             n_batches += 1
             self.throughput.add(hr.shape[0])
+        if pending is not None:
+            drain(pending)
 
         avg = {k: (v / max(1, n_batches)) for k, v in sums.items()}
         avg["images_per_sec"] = self.throughput.images_per_sec()
@@ -235,6 +250,20 @@ class Trainer:
         n_batches = 0
         self.throughput.begin()
 
+        # One-batch-lagged metric fetch (see _train_epoch_stacked): batch k
+        # is gated/dispatched before batch k-1's loss scalars are pulled.
+        pending = []
+
+        def drain(items):
+            for i, metrics, used_gan in items:
+                # The ordering signal is the contrastive/pixel loss only.
+                self.pool.record_loss(
+                    i, float(metrics["com_loss"]), used_gan=used_gan
+                )
+                if i == 0:
+                    for k in ("g_loss", "com_loss", "tv_loss", "g_d_loss"):
+                        sums[k] += float(metrics[k])
+
         for hr, lr_imgs in pipeline.epoch(epoch, epoch_key):
             # Discriminator step (shared across the pool), when GAN is on —
             # the reference's (commented) per-batch D update, train.py:155.
@@ -251,6 +280,7 @@ class Trainer:
 
             # Each pool member updates on this batch, in loss-sorted order
             # (readme.md:4: "每个batch按顺序训练").
+            batch_items = []
             for i, member in enumerate(self.pool.members):
                 use_gan = (
                     self.d_state is not None and self.pool.choose_gan(i)
@@ -268,15 +298,12 @@ class Trainer:
                     member.state, metrics = generator_pixel_step(
                         member.state, hr, lr_imgs, g_lr
                     )
-                # The ordering signal is the contrastive/pixel loss only.
-                self.pool.record_loss(
-                    i, float(metrics["com_loss"]), used_gan=use_gan
-                )
-                if i == 0:
-                    for k in ("g_loss", "com_loss", "tv_loss", "g_d_loss"):
-                        sums[k] += float(metrics[k])
+                batch_items.append((i, metrics, use_gan))
+            drain(pending)
+            pending = batch_items
             n_batches += 1
             self.throughput.add(hr.shape[0])
+        drain(pending)
 
         avg = {k: (v / max(1, n_batches)) for k, v in sums.items()}
         avg["images_per_sec"] = self.throughput.images_per_sec()
