@@ -67,6 +67,28 @@ def load_hr_clip(
         return None
 
 
+def load_hr_clip_u8(
+    path: str, hr_size: Tuple[int, int], *, use_native: Optional[bool] = None
+) -> Optional[np.ndarray]:
+    """Like :func:`load_hr_clip` but uint8 output (lossless — the bicubic
+    resampler quantizes to the uint8 grid per pass): 4x smaller host→device
+    transfers; /255 happens on device (``ops.resize.prepare_batch``)."""
+    if use_native is None:
+        use_native = _native_available()
+    if use_native:
+        from srgan_tpu import native
+
+        return native.load_image_u8(path, hr_size[0], hr_size[1])
+    try:
+        with Image.open(path) as img:
+            img = img.convert("RGB")
+            h, w = hr_size
+            img = img.resize((w, h), Image.BICUBIC)
+            return np.asarray(img, dtype=np.uint8)
+    except (UnidentifiedImageError, IOError, OSError):
+        return None
+
+
 def _native_available() -> bool:
     try:
         from srgan_tpu import native

@@ -2,35 +2,46 @@
 
 Replaces the reference's ``DataLoader(batch_size=12, num_workers=0)`` +
 per-item PIL transforms + per-batch ``.to(device)`` copies
-(``src/train.py:90-95,151-153``) with:
+(``src/train.py:90-95,151-153``) with a TPU-first pipeline:
 
-  - a thread pool decoding/resizing images to canonical HR clips on the host,
-  - per-epoch reshuffled, host-sharded sampling (the ``DistributedSampler`` +
-    ``set_epoch`` equivalent, ``src/train.py:90-103``),
-  - double-buffered ``jax.device_put`` prefetch so the next batch's H2D copy
-    overlaps the current step's compute,
-  - on-device, jit-compiled LR degradation (bilinear ÷factor + per-image
-    gaussian noise, ``src/transformers.py:73-77``) — the randomness is
-    threaded through ``jax.random`` keys for reproducibility under jit
-    (SURVEY.md §7(e)).
+  - native C++ (or PIL-fallback) decode + PIL-parity bicubic resize to
+    canonical HR clips, as **uint8** — the resampler quantizes to the uint8
+    grid anyway, so this is lossless and host→device batches are 4x smaller;
+  - per-epoch reshuffled, host-sharded sampling (the ``DistributedSampler``
+    + ``set_epoch`` equivalent, ``src/train.py:90-103``);
+  - **device-resident dataset cache** (``DataConfig.device_cache``): decode
+    once, upload the whole uint8 dataset to HBM, and assemble every batch
+    with an on-device gather — zero host→device bytes per training step.
+    Auto-enabled when the dataset fits the budget; essential on slow host
+    links (the dev tunnel moves ~20 MB/s, making per-batch uploads the
+    bottleneck at ~6 img/s vs the ~109 img/s compute rate);
+  - streaming fallback with double-buffered ``jax.device_put`` prefetch;
+  - jit-compiled on-device /255 conversion + LR degradation (bilinear
+    ÷factor + per-image gaussian noise, ``src/transformers.py:73-77``) with
+    randomness threaded through ``jax.random`` keys (SURVEY.md §7(e)).
 
-Batch shapes are static (drop-remainder) so every training step hits the same
-compiled executable.
+Batch shapes are static (drop-remainder) so every training step hits the
+same compiled executable.
 """
 
 from __future__ import annotations
 
 import collections
 import concurrent.futures as futures
-import itertools
 from typing import Iterator, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from srgan_tpu.config import DataConfig
-from srgan_tpu.data.dataset import ImageFolderDataset, split_indices
-from srgan_tpu.ops.resize import degrade_batch
+from srgan_tpu.data.dataset import (
+    ImageFolderDataset,
+    _native_available,
+    load_hr_clip_u8,
+    split_indices,
+)
+from srgan_tpu.ops.resize import gather_prepare_batch, prepare_batch
 
 
 class EpochSampler:
@@ -49,7 +60,6 @@ class EpochSampler:
         num_shards: int = 1,
         shard_index: int = 0,
         seed: int = 0,
-        drop_remainder_to: Optional[int] = None,
     ):
         self.indices = np.asarray(indices)
         self.num_shards = num_shards
@@ -65,7 +75,7 @@ class EpochSampler:
 
 
 class HostBatcher:
-    """Decode + batch assembly of HR clips (NHWC float32 numpy).
+    """Decode + batch assembly of HR clips (NHWC uint8 numpy).
 
     Fast path: one call into the native C++ loader per batch — decode and
     PIL-parity resize run on ``num_workers`` C++ threads with the GIL
@@ -82,8 +92,6 @@ class HostBatcher:
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
-        from srgan_tpu.data.dataset import _native_available
-
         self.native = _native_available()
         self.pool = (
             None
@@ -91,38 +99,41 @@ class HostBatcher:
             else futures.ThreadPoolExecutor(max_workers=self.num_workers)
         )
 
-    def _batch_native(self, chunk: np.ndarray) -> Optional[np.ndarray]:
-        from srgan_tpu import native
-
-        paths = [self.dataset.path(int(i)) for i in chunk]
+    def decode_many(self, indices) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode arbitrary count of images → (uint8 array, ok mask)."""
+        paths = [self.dataset.path(int(i)) for i in indices]
         h, w = self.dataset.hr_size
-        batch, ok = native.load_batch(paths, h, w, self.num_workers)
-        if ok.all():
-            return batch
-        if not ok.any():
-            return None
-        good = np.flatnonzero(ok)
-        # corrupt-file skip with static shapes: refill bad slots from good
-        for bad in np.flatnonzero(~ok):
-            batch[bad] = batch[good[bad % len(good)]]
-        return batch
+        if self.native:
+            from srgan_tpu import native
+
+            return native.load_batch_u8(paths, h, w, self.num_workers)
+        out = np.zeros((len(paths), h, w, 3), np.uint8)
+        ok = np.zeros(len(paths), bool)
+
+        def work(k):
+            img = load_hr_clip_u8(paths[k], (h, w), use_native=False)
+            if img is not None:
+                out[k] = img
+                ok[k] = True
+
+        list(self.pool.map(work, range(len(paths)))) if self.pool else [
+            work(k) for k in range(len(paths))
+        ]
+        return out, ok
 
     def batches(self, indices: np.ndarray) -> Iterator[np.ndarray]:
         n_full = len(indices) // self.batch_size
         for b in range(n_full):
             chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
-            if self.native:
-                batch = self._batch_native(chunk)
-                if batch is not None:
-                    yield batch
+            batch, ok = self.decode_many(chunk)
+            if not ok.any():
                 continue
-            imgs = list(self.pool.map(self.dataset.__getitem__, chunk))
-            imgs = [im for im in imgs if im is not None]  # corrupt-file skip
-            if not imgs:
-                continue
-            while len(imgs) < self.batch_size:  # keep static shapes
-                imgs.append(imgs[len(imgs) % len(imgs)])
-            yield np.stack(imgs)
+            if not ok.all():
+                # corrupt-file skip with static shapes: refill bad slots
+                good = np.flatnonzero(ok)
+                for bad in np.flatnonzero(~ok):
+                    batch[bad] = batch[good[bad % len(good)]]
+            yield batch
 
     def close(self):
         if self.pool is not None:
@@ -183,29 +194,85 @@ class TrainPipeline:
         )
         self.batcher = HostBatcher(self.dataset, cfg.batch_size, cfg.num_workers)
         self.sharding = sharding
+        self._device_dataset = None   # uint8 (rows, H, W, 3) in HBM
+        self._row_of = None           # dataset index -> cache row (-1 corrupt)
+
+    # ------------------------------------------------------------------ #
 
     def steps_per_epoch(self) -> int:
         per_shard = len(self.sampler.indices) // self.sampler.num_shards
         return per_shard // self.cfg.batch_size
 
+    def _cache_wanted(self) -> bool:
+        if self.cfg.device_cache == "off":
+            return False
+        h, w = self.cfg.hr_size
+        nbytes = len(self.dataset) * h * w * 3
+        if self.cfg.device_cache == "on":
+            return True
+        return nbytes <= self.cfg.device_cache_budget_bytes
+
+    def _ensure_device_cache(self):
+        if self._device_dataset is not None:
+            return self._device_dataset
+        all_idx = np.arange(len(self.dataset))
+        batch, ok = self.batcher.decode_many(all_idx)
+        rows = batch[ok]
+        self._row_of = np.full(len(self.dataset), -1, np.int64)
+        self._row_of[all_idx[ok]] = np.arange(len(rows))
+        if self.sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.sharding.mesh, P())
+            self._device_dataset = jax.device_put(rows, repl)
+        else:
+            self._device_dataset = jax.device_put(rows)
+        return self._device_dataset
+
+    # ------------------------------------------------------------------ #
+
     def epoch(
         self, epoch: int, key: jax.Array
     ) -> Iterator[Tuple[jax.Array, jax.Array]]:
+        if self._cache_wanted():
+            yield from self._epoch_cached(epoch, key)
+        else:
+            yield from self._epoch_streaming(epoch, key)
+
+    def _epoch_cached(self, epoch, key):
+        dataset = self._ensure_device_cache()
+        indices = self.sampler.epoch_indices(epoch)
+        rows = self._row_of[indices]
+        rows = rows[rows >= 0]  # corrupt-file skip
+        b = self.cfg.batch_size
+        for step in range(len(rows) // b):
+            idx = jnp.asarray(rows[step * b : (step + 1) * b])
+            step_key = jax.random.fold_in(key, step)
+            hr, lr = gather_prepare_batch(
+                dataset, idx, step_key,
+                factor=self.cfg.upscale_factor,
+                noise_std_max=self.cfg.noise_std_max,
+            )
+            if self.sharding is not None:
+                hr = jax.device_put(hr, self.sharding)
+                lr = jax.device_put(lr, self.sharding)
+            yield hr, lr
+
+    def _epoch_streaming(self, epoch, key):
         indices = self.sampler.epoch_indices(epoch)
         hr_stream = _device_prefetch(
             self.batcher.batches(indices),
             self.cfg.prefetch_depth,
             self.sharding,
         )
-        for step, hr in enumerate(hr_stream):
+        for step, hr_u8 in enumerate(hr_stream):
             step_key = jax.random.fold_in(key, step)
-            lr = degrade_batch(
-                hr,
+            yield prepare_batch(
+                hr_u8,
                 step_key,
                 factor=self.cfg.upscale_factor,
                 noise_std_max=self.cfg.noise_std_max,
             )
-            yield hr, lr
 
     def close(self):
         self.batcher.close()

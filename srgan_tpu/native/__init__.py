@@ -40,6 +40,17 @@ def _load():
         ctypes.POINTER(ctypes.c_int), ctypes.c_int,
     ]
     lib.srgan_load_batch.restype = ctypes.c_int
+    lib.srgan_load_image_u8.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.srgan_load_image_u8.restype = ctypes.c_int
+    lib.srgan_load_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.srgan_load_batch_u8.restype = ctypes.c_int
     lib.srgan_loader_version.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -75,6 +86,19 @@ def load_image(path: str, out_h: int, out_w: int) -> Optional[np.ndarray]:
     return out if rc == 0 else None
 
 
+def load_image_u8(path: str, out_h: int, out_w: int) -> Optional[np.ndarray]:
+    """uint8 variant of :func:`load_image`."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader not built (run native.build())")
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    rc = lib.srgan_load_image_u8(
+        path.encode(), out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None
+
+
 def load_batch(
     paths: List[str], out_h: int, out_w: int, num_threads: int = 4
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -91,6 +115,28 @@ def load_batch(
     lib.srgan_load_batch(
         arr, n, out_h, out_w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    return out, status == 0
+
+
+def load_batch_u8(
+    paths: List[str], out_h: int, out_w: int, num_threads: int = 4
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Like :func:`load_batch` but uint8 output (lossless — the resampler
+    quantizes to the uint8 grid per pass anyway). Keeps host→device batch
+    transfers 4x smaller."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader not built (run native.build())")
+    n = len(paths)
+    out = np.empty((n, out_h, out_w, 3), np.uint8)
+    status = np.empty(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.srgan_load_batch_u8(
+        arr, n, out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         num_threads,
     )

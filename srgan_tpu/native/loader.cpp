@@ -278,7 +278,44 @@ int srgan_load_batch(const char** paths, int n, int out_h, int out_w,
   return ok_count.load();
 }
 
+// uint8 variants: same decode + PIL-parity resize, but the output stays on
+// the uint8 grid (the resampler quantizes per pass anyway, so this is
+// lossless vs the float path x255). Used to keep host->device transfers
+// 4x smaller.
+int srgan_load_image_u8(const char* path, int out_h, int out_w,
+                        uint8_t* out) {
+  Image img = decode_file(path);
+  if (!img.ok || img.w < 1 || img.h < 1) return -1;
+  size_t n = size_t(out_h) * out_w * 3;
+  std::vector<float> tmp(n);
+  resize_bicubic(img, out_h, out_w, tmp.data());
+  for (size_t k = 0; k < n; k++)
+    out[k] = uint8_t(tmp[k] * 255.0f + 0.5f);
+  return 0;
+}
+
+int srgan_load_batch_u8(const char** paths, int n, int out_h, int out_w,
+                        uint8_t* out, int* status, int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  std::atomic<int> next(0), ok_count(0);
+  size_t stride = size_t(out_h) * out_w * 3;
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      int rc = srgan_load_image_u8(paths[i], out_h, out_w, out + stride * i);
+      status[i] = rc;
+      if (rc == 0) ok_count.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  int nt = num_threads < n ? num_threads : n;
+  for (int t = 0; t < nt; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return ok_count.load();
+}
+
 // Probe: returns the ABI version.
-int srgan_loader_version() { return 1; }
+int srgan_loader_version() { return 2; }
 
 }  // extern "C"

@@ -59,6 +59,36 @@ def degrade_batch(
     return lr + noise * std
 
 
+@functools.partial(jax.jit, static_argnames=("factor",))
+def prepare_batch(
+    hr_u8: jax.Array, key: jax.Array, *, factor: int = 4,
+    noise_std_max: float = 0.03,
+):
+    """uint8 HR batch → (float32 HR, degraded float32 LR), all on device.
+
+    Batches travel host→device as uint8 (4x less transfer than float32 —
+    lossless, the host resampler outputs uint8-grid values); the /255
+    conversion and the LR degradation run fused on device.
+    """
+    hr = hr_u8.astype(jnp.float32) * (1.0 / 255.0)
+    lr = degrade_batch(hr, key, factor=factor, noise_std_max=noise_std_max)
+    return hr, lr
+
+
+@functools.partial(jax.jit, static_argnames=("factor",), donate_argnums=())
+def gather_prepare_batch(
+    dataset_u8: jax.Array, idx: jax.Array, key: jax.Array, *,
+    factor: int = 4, noise_std_max: float = 0.03,
+):
+    """Device-resident-dataset path: gather a batch by index from the uint8
+    dataset cached in HBM, then convert + degrade — zero host→device bytes
+    per step after the one-time dataset upload."""
+    hr_u8 = jnp.take(dataset_u8, idx, axis=0)
+    return prepare_batch(
+        hr_u8, key, factor=factor, noise_std_max=noise_std_max
+    )
+
+
 @jax.jit
 def add_gaussian_noise(
     img: jax.Array, key: jax.Array, std: float = 0.01, mean: float = 0.0

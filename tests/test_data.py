@@ -117,6 +117,38 @@ class TestTrainPipeline:
         assert lr.shape == (2, 8, 8, 3)
         pipe.close()
 
+    def test_streaming_matches_cached(self, tmp_path):
+        """device_cache on/off must produce identical (hr, lr) batches —
+        both paths ride the same uint8 grid and the same jit transforms."""
+        folder = str(tmp_path / "train")
+        _make_images(folder, 4)
+        base = dict(hr_size=(16, 16), upscale_factor=2, batch_size=2,
+                    split_ratio=1.0, num_workers=2)
+        pipe_c = TrainPipeline(DataConfig(**base, device_cache="on"), folder,
+                               use_split=False)
+        pipe_s = TrainPipeline(DataConfig(**base, device_cache="off"), folder,
+                               use_split=False)
+        got_c = list(pipe_c.epoch(0, jax.random.key(7)))
+        got_s = list(pipe_s.epoch(0, jax.random.key(7)))
+        assert len(got_c) == len(got_s) == 2
+        for (hc, lc), (hs, ls) in zip(got_c, got_s):
+            np.testing.assert_array_equal(np.asarray(hc), np.asarray(hs))
+            np.testing.assert_array_equal(np.asarray(lc), np.asarray(ls))
+        pipe_c.close()
+        pipe_s.close()
+
+    def test_cache_corrupt_rows_dropped(self, tmp_path):
+        folder = str(tmp_path / "train")
+        _make_images(folder, 4)
+        with open(os.path.join(folder, "bad.png"), "wb") as f:
+            f.write(b"junk")
+        cfg = DataConfig(hr_size=(8, 8), upscale_factor=2, batch_size=2,
+                         split_ratio=1.0, device_cache="on")
+        pipe = TrainPipeline(cfg, folder, use_split=False)
+        batches = list(pipe.epoch(0, jax.random.key(0)))
+        assert len(batches) == 2  # 4 good images -> 2 batches
+        pipe.close()
+
     def test_split_used(self, tmp_path):
         folder = str(tmp_path / "train")
         _make_images(folder, 10)
