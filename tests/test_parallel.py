@@ -141,6 +141,38 @@ class TestMeshTrainer:
         assert os.path.isdir(os.path.join(cfg.train.results_dir, "Training_ckpt"))
 
 
+class TestMeshStackedPool:
+    def test_trainer_mesh_plus_stacked_pool(self, tmp_path, rng):
+        """Data mesh x vmap-stacked 3-generator pool — the two parallel
+        axes compose (GSPMD reshards the stacked state as needed)."""
+        from PIL import Image
+
+        from srgan_tpu.config import Config, DataConfig, PoolConfig, TrainConfig
+        from srgan_tpu.training.loop import Trainer
+
+        folder = tmp_path / "train"
+        folder.mkdir()
+        for i in range(8):
+            Image.fromarray(
+                rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+            ).save(str(folder / f"i{i}.png"))
+        cfg = Config(
+            model=ModelConfig(num_features=8, num_residuals=1, upscale_factor=2),
+            data=DataConfig(hr_size=(32, 32), upscale_factor=2, batch_size=8,
+                            split_ratio=1.0),
+            pool=PoolConfig(num_generators=3),
+            train=TrainConfig(num_epochs=1, validate_every=1,
+                              score_max_batches=1,
+                              results_dir=str(tmp_path / "results")),
+        )
+        trainer = Trainer(cfg, use_mesh=True)
+        assert trainer.spool is not None
+        last = trainer.train(str(folder), str(folder))
+        assert np.isfinite(last["g_loss"])
+        losses = [p["running_loss"] for p in last["pool"]]
+        assert losses == sorted(losses)
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import __graft_entry__ as ge
