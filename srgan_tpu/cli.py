@@ -32,11 +32,20 @@ def _add_train(sub):
     p.add_argument("--continue-training", action="store_true",
                    help="fine-tune phase: reload checkpoint, LR/5, "
                         "Post-Training prefix (train.py:51-59)")
+    p.add_argument("--validate-every", type=int, default=5,
+                   help="comparison-grid cadence in epochs (train.py:114)")
+    p.add_argument("--noise-std-max", type=float, default=0.03,
+                   help="max per-image LR noise severity (transformers.py:76)")
+    p.add_argument("--lr-generator", type=float, default=1e-4)
+    p.add_argument("--lr-discriminator", type=float, default=5e-5)
     p.add_argument("--results-dir", default="results")
     p.add_argument("--prefix", default="Training")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv compute (TPU MXU fast path)")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint each residual block (fits larger "
+                        "batches/pools per chip)")
     p.add_argument("--debug-nans", action="store_true")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the run into this "
@@ -88,6 +97,7 @@ def main(argv=None):
                 upscale_factor=args.upscale,
                 num_features=args.num_features,
                 num_residuals=args.num_residuals,
+                remat=args.remat,
                 compute_dtype="bfloat16" if args.bf16 else "float32",
             ),
             data=DataConfig(
@@ -96,6 +106,7 @@ def main(argv=None):
                 hr_size=(args.hr_height, args.hr_width),
                 upscale_factor=args.upscale,
                 batch_size=args.batch_size,
+                noise_std_max=args.noise_std_max,
             ),
             pool=PoolConfig(
                 num_generators=args.num_generators,
@@ -103,7 +114,10 @@ def main(argv=None):
             ),
             train=TrainConfig(
                 num_epochs=args.epochs,
+                lr_generator=args.lr_generator,
+                lr_discriminator=args.lr_discriminator,
                 use_gan=args.gan,
+                validate_every=args.validate_every,
                 results_dir=args.results_dir,
                 run_prefix=args.prefix,
                 seed=args.seed,

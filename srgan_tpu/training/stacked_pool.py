@@ -64,7 +64,11 @@ def unstack_states(stacked: TrainState, n: int):
 
 def _member_losses(params, apply_fn, hr, lr_imgs):
     sr = apply_fn({"params": params}, lr_imgs)
-    com_loss, tv_loss = reconstruction_loss(hr, sr)
+    # XLA loss path here: this function runs under vmap (pool axis), and the
+    # Pallas loss kernel's HBM-space inputs cannot be batch-blocked by
+    # Pallas's auto-vmap. (Possible future win: the edge map depends only on
+    # the shared HR, so it could be computed once outside the vmap.)
+    com_loss, tv_loss = reconstruction_loss(hr, sr, use_pallas=False)
     return com_loss, tv_loss, sr
 
 
