@@ -74,12 +74,28 @@ def _add_upscale(sub):
     p.add_argument("--enhance", action="store_true")
 
 
+def _add_upscale_dir(sub):
+    p = sub.add_parser(
+        "upscale-dir",
+        help="super-resolve every image in a folder (batch serving path)",
+    )
+    p.add_argument("input_dir")
+    p.add_argument("output_dir")
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--prefix", default="Training")
+    p.add_argument("--enhance", action="store_true")
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="images per device batch (same-size images batch "
+                        "together; sizes are bucketed automatically)")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser("srgan_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     _add_train(sub)
     _add_eval(sub)
     _add_upscale(sub)
+    _add_upscale_dir(sub)
     args = parser.parse_args(argv)
 
     if args.cmd == "train":
@@ -159,6 +175,18 @@ def main(argv=None):
             up = Upscaler.random_init(enhance_output=args.enhance)
         up.upscale_file(args.input, args.output)
         print(f"saved {args.output}")
+    elif args.cmd == "upscale-dir":
+        from srgan_tpu.eval.inference import upscale_directory
+
+        n = upscale_directory(
+            args.input_dir,
+            args.output_dir,
+            results_dir=args.results_dir,
+            prefix=args.prefix,
+            enhance_output=args.enhance,
+            batch_size=args.batch_size,
+        )
+        print(f"upscaled {n} images into {args.output_dir}")
 
 
 if __name__ == "__main__":

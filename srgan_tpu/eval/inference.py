@@ -82,3 +82,53 @@ def upscale(image: np.ndarray, upscaler: Optional[Upscaler] = None) -> np.ndarra
     provided) flagship generator."""
     upscaler = upscaler or Upscaler.random_init()
     return upscaler.upscale(image)
+
+
+def upscale_directory(
+    input_dir: str,
+    output_dir: str,
+    *,
+    results_dir: str = "results",
+    prefix: str = "Training",
+    enhance_output: bool = False,
+    batch_size: int = 8,
+    upscaler: Optional[Upscaler] = None,
+) -> int:
+    """Batch-serving path: super-resolve every image in a folder.
+
+    Same-shape images are bucketed and processed in device batches (each
+    distinct input size compiles one executable — images from one camera or
+    dataset usually share a size, so typically one compile total). Returns
+    the number of images written.
+    """
+    import collections
+    import os
+
+    from srgan_tpu.data.dataset import list_image_files
+
+    if upscaler is None:
+        ckpt_dir = os.path.join(results_dir, f"{prefix}_ckpt")
+        upscaler = (
+            Upscaler.from_checkpoint(
+                results_dir, prefix, enhance_output=enhance_output
+            )
+            if os.path.isdir(ckpt_dir)
+            else Upscaler.random_init(enhance_output=enhance_output)
+        )
+    os.makedirs(output_dir, exist_ok=True)
+
+    buckets = collections.defaultdict(list)
+    for fname in list_image_files(input_dir):
+        img = load_image(os.path.join(input_dir, fname))
+        buckets[img.shape].append((fname, img))
+
+    written = 0
+    for shape, items in buckets.items():
+        for i in range(0, len(items), batch_size):
+            chunk = items[i : i + batch_size]
+            batch = np.stack([img for _, img in chunk])
+            sr = upscaler.upscale(batch)
+            for (fname, _), out in zip(chunk, sr):
+                save_image(out, os.path.join(output_dir, fname))
+                written += 1
+    return written

@@ -85,6 +85,78 @@ class TestUpscaler:
         assert out.shape == (16, 16, 3)
 
 
+class TestUpscaleDirectory:
+    def test_folder_roundtrip(self, tmp_path, rng):
+        from srgan_tpu.eval.inference import upscale_directory
+
+        src = tmp_path / "in"
+        dst = tmp_path / "out"
+        src.mkdir()
+        # two size buckets
+        for i, size in enumerate([(8, 8), (8, 8), (12, 10)]):
+            Image.fromarray(
+                rng.integers(0, 255, (*size, 3)).astype(np.uint8)
+            ).save(str(src / f"im{i}.png"))
+        up = Upscaler.random_init(
+            ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        )
+        n = upscale_directory(str(src), str(dst), upscaler=up, batch_size=2)
+        assert n == 3
+        assert Image.open(str(dst / "im0.png")).size == (16, 16)
+        assert Image.open(str(dst / "im2.png")).size == (20, 24)
+
+
+class TestPerceptualStep:
+    def test_perceptual_step_runs(self, rng):
+        """Opt-in perceptual train step (reference's disabled VGG loss path,
+        ``src/train.py:49,157``) — runs with a (random-weight) extractor."""
+        import jax
+
+        from srgan_tpu.models.srresnet import init_generator
+        from srgan_tpu.models.vgg import VGG19Features
+        from srgan_tpu.training.steps import generator_perceptual_step
+        from srgan_tpu.training.train_state import TrainState
+        import jax.numpy as jnp
+
+        model, params = init_generator(
+            ModelConfig(num_features=8, num_residuals=1, upscale_factor=2),
+            jax.random.key(0), sample_hw=(16, 16),
+        )
+        state = TrainState.create(apply_fn=model.apply, params=params)
+        vgg = VGG19Features(layers=("conv1_2",))
+        vgg_params = vgg.init(jax.random.key(1), jnp.zeros((1, 32, 32, 3)))[
+            "params"
+        ]
+        hr = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+        lr = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        state, m = generator_perceptual_step(
+            state, vgg.apply, vgg_params, hr, lr, jnp.asarray(1e-4),
+            jnp.asarray(0.1),
+        )
+        assert np.isfinite(float(m["g_loss"]))
+        assert float(m["p_loss"]) > 0.0
+
+
+class TestSaltPepper:
+    def test_density_and_range(self, rng):
+        import jax
+
+        from srgan_tpu.ops.resize import add_salt_pepper
+        import jax.numpy as jnp
+
+        img = jnp.full((64, 64, 3), 0.5)
+        out = add_salt_pepper(img, jax.random.key(0), salt_prob=0.1,
+                              pepper_prob=0.1)
+        arr = np.asarray(out)
+        frac_salt = (arr == 1.0).all(axis=-1).mean()
+        frac_pepper = (arr == 0.0).all(axis=-1).mean()
+        assert 0.0 < frac_salt < 0.2
+        assert 0.0 < frac_pepper < 0.2
+        # untouched pixels unchanged
+        untouched = (arr != 1.0).any(-1) & (arr != 0.0).any(-1)
+        assert np.allclose(arr[untouched], 0.5)
+
+
 class TestImageIO:
     def test_array_roundtrip(self, rng):
         arr = rng.random((5, 6, 3)).astype(np.float32)
