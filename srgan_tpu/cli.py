@@ -63,6 +63,9 @@ def _add_eval(sub):
     p.add_argument("--no-enhance", action="store_true")
     p.add_argument("--results-dir", default="results")
     p.add_argument("--prefix", default="Training")
+    p.add_argument("--torch-checkpoint", default=None,
+                   help="evaluate a reference PyTorch .pth generator "
+                        "directly (ported on the fly)")
 
 
 def _add_upscale(sub):
@@ -156,6 +159,7 @@ def main(argv=None):
             hr_path=args.hr_dir,
             results_dir=args.results_dir,
             prefix=args.prefix,
+            torch_checkpoint=args.torch_checkpoint,
             extra_downscale=not args.no_extra_downscale,
             apply_enhance=not args.no_enhance,
         )

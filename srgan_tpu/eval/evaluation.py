@@ -42,16 +42,21 @@ def evaluate_model(
     upscaler: Optional[Upscaler] = None,
     results_dir: str = "results",
     prefix: str = "Training",
+    torch_checkpoint: Optional[str] = None,
     extra_downscale: bool = True,
     apply_enhance: bool = True,
     verbose: bool = True,
 ) -> tuple:
     """Returns (avg_psnr, avg_ssim) over the paired eval set
-    (``evaluate_model``, ``src/evaluation.py:15-61``)."""
+    (``evaluate_model``, ``src/evaluation.py:15-61``).
+
+    ``torch_checkpoint``: evaluate a reference PyTorch ``.pth`` generator
+    directly (ported on the fly — the migration path)."""
     eval_data = PairedImageDataset(dataset, lr_path, hr_path)
     if upscaler is None:
-        ckpt_dir = os.path.join(results_dir, f"{prefix}_ckpt")
-        if os.path.isdir(ckpt_dir):
+        if torch_checkpoint is not None:
+            upscaler = Upscaler.from_torch_checkpoint(torch_checkpoint)
+        elif os.path.isdir(os.path.join(results_dir, f"{prefix}_ckpt")):
             upscaler = Upscaler.from_checkpoint(results_dir, prefix)
         else:
             upscaler = Upscaler.random_init()

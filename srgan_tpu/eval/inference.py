@@ -61,6 +61,16 @@ class Upscaler:
         params = ckpt.restore_generator_params(results_dir, prefix)
         return cls(model, params, **kw)
 
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, **kw):
+        """Load a reference PyTorch ``.pth`` generator directly (migration
+        path for existing users): conv weights transposed, BatchNorm folded,
+        DDP prefix stripped — see ``srgan_tpu.utils.torch_port``."""
+        from srgan_tpu.utils.torch_port import load_torch_checkpoint
+
+        cfg, params = load_torch_checkpoint(path)
+        return cls(SRResNet.from_config(cfg), params, **kw)
+
     def upscale(self, image: np.ndarray) -> np.ndarray:
         """HWC (or NHWC) image in [0, 1] → upscaled HWC float32 in [0, 1]."""
         arr = np.asarray(image, dtype=np.float32)
