@@ -1,0 +1,82 @@
+"""Explicit-collectives data-parallel train step via ``shard_map``.
+
+The default DP path (``srgan_tpu.training.steps`` under jit with
+``NamedSharding``) lets GSPMD infer the gradient all-reduce. This module is
+the explicit formulation — the direct TPU-native analogue of the
+reference's DDP gradient hooks (``src/train.py:45,47``): each device runs
+the per-shard step body and the gradients are combined with ``jax.lax.pmean``
+over the ``data`` axis before the (replicated) Adam update.
+
+SEMANTIC NOTE — the two formulations are not identical for THIS loss. The
+reconstruction loss normalizes its edge map with batch-global statistics
+(``src/utils.py:200,234-239``), so:
+
+  - the GSPMD path computes the loss over the GLOBAL batch (bit-equivalent
+    to single-device training — what our DP tests verify);
+  - this shard_map path computes per-shard losses with per-shard edge
+    statistics and averages the gradients — which is exactly what the
+    reference's DDP does (each GPU's ``g_criterion`` sees only its local
+    batch, ``src/train.py:45,194``; DDP averages gradients).
+
+So this module is the *faithful reproduction of the reference's distributed
+semantics*, while the default path is the mathematically cleaner
+global-batch variant. The difference is O(1e-4) on the loss for typical
+batches; both are tested on the 8-virtual-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from srgan_tpu.training.steps import generator_pixel_loss_fn
+from srgan_tpu.training.train_state import TrainState
+
+
+def make_shardmap_pixel_step(mesh: Mesh, apply_fn, axis: str = "data"):
+    """Build the explicit-psum DP pixel train step for ``mesh``.
+
+    Returns ``step(state, hr, lr_imgs, lr) -> (state, metrics)`` where
+    ``hr``/``lr_imgs`` are batch-sharded on ``axis`` and the state is
+    replicated.
+    """
+
+    def body(params, opt_state, hr, lr_imgs, lr):
+        # per-device shard loss/grads
+        (loss, aux), grads = jax.value_and_grad(
+            generator_pixel_loss_fn, has_aux=True
+        )(params, apply_fn, hr, lr_imgs)
+        # THE all-reduce: mean of per-shard grads == global-batch gradient
+        # (each shard's loss is a mean over its slice; shards are equal-size)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        aux = jax.lax.pmean(aux, axis)
+        return grads, loss, aux
+
+    smapped = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P()),
+        out_specs=(P(), P(), P()),
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, hr, lr_imgs, lr) -> Tuple[TrainState, dict]:
+        grads, loss, aux = smapped(
+            state.params, state.opt_state, hr, lr_imgs, lr
+        )
+        new_state = state.apply_gradients(grads, lr)
+        metrics = {
+            "g_loss": loss,
+            "com_loss": aux["com_loss"],
+            "tv_loss": aux["tv_loss"],
+            "g_d_loss": jnp.zeros(()),
+        }
+        return new_state, metrics
+
+    return step
