@@ -10,7 +10,6 @@ launcher. On TPU a single process drives all local devices via the mesh; no
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import sys
 
 

@@ -18,7 +18,7 @@ scan/decode time (the reference raises IndexError mid-epoch,
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 from PIL import Image, UnidentifiedImageError

@@ -13,7 +13,6 @@ images.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def pixel_shuffle(x: jax.Array, upscale_factor: int = 2) -> jax.Array:

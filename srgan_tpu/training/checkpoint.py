@@ -14,13 +14,12 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, List, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from srgan_tpu.config import ModelConfig, TrainConfig
-from srgan_tpu.training.pool import GeneratorPool, PoolMember
+from srgan_tpu.training.pool import GeneratorPool
 from srgan_tpu.training.train_state import TrainState
 
 FINETUNE_PREFIX = "Post-Training"  # ``src/train.py:58``

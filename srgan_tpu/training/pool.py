@@ -30,7 +30,7 @@ XLA fuses into one elementwise kernel over the parameter pytrees.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Sequence
 
 import jax
 import numpy as np

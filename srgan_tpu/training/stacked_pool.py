@@ -23,7 +23,7 @@ Semantics preserved relative to :mod:`srgan_tpu.training.pool`:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import functools
 
