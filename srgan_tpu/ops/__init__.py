@@ -6,7 +6,11 @@ from srgan_tpu.ops.gan_loss import (
 )
 from srgan_tpu.ops.metrics import batched_psnr_ssim, psnr, ssim
 from srgan_tpu.ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
-from srgan_tpu.ops.recon_loss import edge_importance_map, reconstruction_loss
+from srgan_tpu.ops.recon_loss import (
+    edge_importance_map,
+    reconstruction_loss,
+    reconstruction_loss_with_edges,
+)
 from srgan_tpu.ops.resize import (
     add_gaussian_noise,
     add_salt_pepper,

@@ -72,9 +72,19 @@ def reconstruction_loss(
         return reconstruction_loss_pallas(hr, sr)
 
     edges = edge_importance_map(hr)
+    return reconstruction_loss_with_edges(hr, sr, edges)
+
+
+def reconstruction_loss_with_edges(
+    hr: jax.Array, sr: jax.Array, edges: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Loss terms given a precomputed edge map.
+
+    Lets callers amortize the (HR-only) edge computation — e.g. the
+    vmap-stacked generator pool shares one HR batch across N members, so the
+    Sobel/normalize pass runs once instead of N times."""
     diff = jnp.abs(hr - sr)
     edge_loss = jnp.sum(diff * edges) / jnp.sum(edges)
-
     tv = jnp.abs(depthwise_conv3x3(sr, DIFF_KERNEL)) * (1.0 - edges)
     tv_loss = jax.nn.relu(jnp.mean(tv))
     return edge_loss, tv_loss

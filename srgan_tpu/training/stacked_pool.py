@@ -33,7 +33,10 @@ import numpy as np
 
 from srgan_tpu.config import PoolConfig
 from srgan_tpu.ops.gan_loss import generator_adversarial_loss
-from srgan_tpu.ops.recon_loss import reconstruction_loss
+from srgan_tpu.ops.recon_loss import (
+    edge_importance_map,
+    reconstruction_loss_with_edges,
+)
 from srgan_tpu.training.train_state import TrainState
 
 
@@ -62,23 +65,19 @@ def unstack_states(stacked: TrainState, n: int):
     ]
 
 
-def _member_losses(params, apply_fn, hr, lr_imgs):
-    sr = apply_fn({"params": params}, lr_imgs)
-    # XLA loss path here: this function runs under vmap (pool axis), and the
-    # Pallas loss kernel's HBM-space inputs cannot be batch-blocked by
-    # Pallas's auto-vmap. (Possible future win: the edge map depends only on
-    # the shared HR, so it could be computed once outside the vmap.)
-    com_loss, tv_loss = reconstruction_loss(hr, sr, use_pallas=False)
-    return com_loss, tv_loss, sr
-
-
 def _stacked_loss_fn(stacked_params, apply_fn, d_apply_fn, d_params,
                      hr, lr_imgs, gan_mask):
-    """Mean over members of the per-member objective; grads decouple because
-    each member's params only touch its own term."""
+    """Sum over members of the per-member objective; grads decouple because
+    each member's params only touch its own term. The HR edge map is shared
+    across all members (it depends on HR only) and computed ONCE outside the
+    member vmap — the Sobel/normalize pass runs 1x instead of N x. (The
+    scalar-output Pallas loss kernel cannot run here: its HBM-space inputs
+    don't batch under Pallas auto-vmap.)"""
+    edges = jax.lax.stop_gradient(edge_importance_map(hr))
 
     def one(params, mask):
-        com, tv, sr = _member_losses(params, apply_fn, hr, lr_imgs)
+        sr = apply_fn({"params": params}, lr_imgs)
+        com, tv = reconstruction_loss_with_edges(hr, sr, edges)
         if d_apply_fn is not None:
             fake = d_apply_fn({"params": d_params}, sr)
             real = jax.lax.stop_gradient(d_apply_fn({"params": d_params}, hr))
