@@ -31,6 +31,11 @@ def _add_train(sub):
     p.add_argument("--continue-training", action="store_true",
                    help="fine-tune phase: reload checkpoint, LR/5, "
                         "Post-Training prefix (train.py:51-59)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="snapshot the full state every N epochs "
+                        "(preemption recovery; 0 = end-of-run only)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue the same run from the last snapshot")
     p.add_argument("--validate-every", type=int, default=5,
                    help="comparison-grid cadence in epochs (train.py:114)")
     p.add_argument("--noise-std-max", type=float, default=0.03,
@@ -91,7 +96,26 @@ def _add_upscale_dir(sub):
                         "together; sizes are bucketed automatically)")
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: recompiles of the same executables
+    (e.g. re-running eval, resuming training) become instant across
+    processes. Opt out with SRGAN_TPU_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("SRGAN_TPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    path = os.environ.get(
+        "SRGAN_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/srgan_tpu_xla")
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None):
+    _enable_compilation_cache()
     parser = argparse.ArgumentParser("srgan_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     _add_train(sub)
@@ -140,15 +164,21 @@ def main(argv=None):
                 run_prefix=args.prefix,
                 seed=args.seed,
                 debug_nans=args.debug_nans,
+                checkpoint_every=args.checkpoint_every,
             ),
         )
         if args.profile_dir:
             from srgan_tpu.utils.profiling import trace
 
             with trace(args.profile_dir):
-                Trainer(cfg).train(continue_training=args.continue_training)
+                Trainer(cfg).train(
+                    continue_training=args.continue_training,
+                    resume=args.resume,
+                )
         else:
-            Trainer(cfg).train(continue_training=args.continue_training)
+            Trainer(cfg).train(
+                continue_training=args.continue_training, resume=args.resume
+            )
     elif args.cmd == "eval":
         from srgan_tpu.eval.evaluation import evaluate_model
 

@@ -158,6 +158,11 @@ class TrainConfig:
     # opt-in NaN debugging, replacing the reference's always-on
     # ``set_detect_anomaly(True)`` (``train.py:177,207``; SURVEY.md §5).
     debug_nans: bool = False
+    # Preemption-safe periodic checkpointing: snapshot the full state every
+    # N epochs (0 = end-of-run only, the reference's behavior,
+    # ``train.py:123-125``). ``Trainer.train(resume=True)`` continues the
+    # same run from the last snapshot's epoch.
+    checkpoint_every: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -359,13 +359,18 @@ class Trainer:
         val_folder: Optional[str] = None,
         *,
         continue_training: bool = False,
+        resume: bool = False,
     ) -> dict:
         """Full run — the ``train_example`` equivalent (``src/train.py:27-139``).
 
         ``continue_training=True`` restores the checkpoint and enters the
         fine-tune phase (LR/5, "Post-Training" prefix, ``train.py:51-59``).
+        ``resume=True`` continues the SAME run from the last periodic
+        snapshot's epoch (preemption recovery; pair with
+        ``TrainConfig.checkpoint_every``).
         """
         cfg = self.cfg
+        start_epoch = 0
         if continue_training:
             self.pool, self.d_state, _ = ckpt.restore_checkpoint(
                 cfg.train.results_dir,
@@ -376,6 +381,14 @@ class Trainer:
             self._rebuild_stacked_from_pool()
             self.cfg = cfg = cfg.replace(train=ckpt.finetune_entry(cfg.train))
             self.logger = MetricsLogger(cfg.train.results_dir, cfg.train.run_prefix)
+        elif resume:
+            self.pool, self.d_state, start_epoch = ckpt.restore_checkpoint(
+                cfg.train.results_dir,
+                cfg.train.run_prefix,
+                pool=self.pool,
+                d_state=self.d_state,
+            )
+            self._rebuild_stacked_from_pool()
 
         num_shards, shard_index = process_shard_info()
         pipeline = TrainPipeline(
@@ -400,13 +413,27 @@ class Trainer:
         os.makedirs(cfg.train.results_dir, exist_ok=True)
         last = {}
         try:
-            for epoch in range(cfg.train.num_epochs):
+            for epoch in range(start_epoch, cfg.train.num_epochs):
                 t0 = time.perf_counter()
                 train_metrics = self.train_epoch(pipeline, epoch)
                 if self.spool is not None:
                     self.spool.end_epoch()
                 else:
                     self.pool.end_epoch()
+
+                if (
+                    cfg.train.checkpoint_every
+                    and (epoch + 1) % cfg.train.checkpoint_every == 0
+                ):
+                    self._sync_pool_from_stacked()
+                    ckpt.save_checkpoint(
+                        cfg.train.results_dir,
+                        cfg.train.run_prefix,
+                        pool=self.pool,
+                        d_state=self.d_state,
+                        epoch=epoch + 1,
+                        model_config=cfg.model,
+                    )
 
                 if (epoch + 1) % cfg.train.validate_every == 0:
                     self.validate(val_pipeline, epoch)

@@ -128,6 +128,32 @@ class TestEndToEnd:
         assert last["g_d_loss"] != 0.0  # adversarial term was live
         assert trainer.pool.members[0].gan_updates > 0
 
+    def test_periodic_checkpoint_and_resume(self, tmp_path, data_dirs):
+        """Preemption recovery: checkpoint_every snapshots mid-run; a fresh
+        Trainer with resume=True continues from the saved epoch."""
+        train_dir, val_dir = data_dirs
+        cfg = _tiny_cfg(tmp_path, num_epochs=2, checkpoint_every=1)
+        t1 = Trainer(cfg, use_mesh=False)
+        t1.train(train_dir, val_dir)
+
+        # simulate preemption after epoch 2 of a 4-epoch run: bump the
+        # target epochs and resume — must start at epoch 2, not 0
+        cfg4 = _tiny_cfg(tmp_path, num_epochs=4, checkpoint_every=1)
+        t2 = Trainer(cfg4, use_mesh=False)
+        last = t2.train(train_dir, val_dir, resume=True)
+        assert last["epoch"] == 4
+        import json
+
+        recs = [
+            json.loads(l)
+            for l in open(
+                os.path.join(cfg.train.results_dir, "Training_metrics.jsonl")
+            )
+        ]
+        epochs_logged = [r["epoch"] for r in recs]
+        # run 1 logged epochs 1,2; the resumed run logged 3,4 (not 1,2 again)
+        assert epochs_logged == [1, 2, 3, 4]
+
     def test_multi_generator_pool_run(self, tmp_path, data_dirs):
         """BASELINE config 3 shape: 3-generator loss-sorted pool (pixel-only
         here; GAN gating exercised in test_gan_training)."""
