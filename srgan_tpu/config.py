@@ -140,7 +140,10 @@ class TrainConfig:
     lr_generator: float = 1e-4
     # reference: lr_discriminator = lr_generator / 2 (``train.py:41``)
     lr_discriminator: float = 5e-5
-    # LinearLR start/end factors over num_epochs (``train.py:70-71``)
+    # Schedule: "linear" is the reference's active LinearLR 1→0.01
+    # (``train.py:70-71``); "cosine" is its defined-but-commented
+    # CosineAnnealingLR variant (``train.py:64,68-69``).
+    lr_schedule: str = "linear"
     lr_start_factor: float = 1.0
     lr_end_factor: float = 0.01
     adam_b1: float = 0.9

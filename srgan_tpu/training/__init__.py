@@ -18,7 +18,7 @@ from srgan_tpu.training.steps import (
     generator_pixel_step,
     infer_step,
 )
-from srgan_tpu.training.train_state import TrainState, cosine_lr, linear_lr
+from srgan_tpu.training.train_state import TrainState, cosine_lr, epoch_lr, linear_lr
 
 __all__ = [
     "FINETUNE_PREFIX",
@@ -38,5 +38,6 @@ __all__ = [
     "infer_step",
     "TrainState",
     "cosine_lr",
+    "epoch_lr",
     "linear_lr",
 ]

@@ -48,7 +48,7 @@ from srgan_tpu.training.steps import (
     generator_pixel_step,
     infer_step,
 )
-from srgan_tpu.training.train_state import TrainState, linear_lr
+from srgan_tpu.training.train_state import TrainState, epoch_lr
 from srgan_tpu.utils.logging import MetricsLogger, Throughput
 from srgan_tpu.utils.plotting import save_comparison, save_rating_curve
 
@@ -167,10 +167,10 @@ class Trainer:
 
         cfg = self.cfg
         g_lr = jnp.asarray(
-            linear_lr(cfg.train, cfg.train.lr_generator, epoch), jnp.float32
+            epoch_lr(cfg.train, cfg.train.lr_generator, epoch), jnp.float32
         )
         d_lr = jnp.asarray(
-            linear_lr(cfg.train, cfg.train.lr_discriminator, epoch), jnp.float32
+            epoch_lr(cfg.train, cfg.train.lr_discriminator, epoch), jnp.float32
         )
         epoch_key = jax.random.fold_in(jax.random.key(cfg.train.seed), epoch)
 
@@ -238,10 +238,10 @@ class Trainer:
             return self._train_epoch_stacked(pipeline, epoch)
         cfg = self.cfg
         g_lr = jnp.asarray(
-            linear_lr(cfg.train, cfg.train.lr_generator, epoch), jnp.float32
+            epoch_lr(cfg.train, cfg.train.lr_generator, epoch), jnp.float32
         )
         d_lr = jnp.asarray(
-            linear_lr(cfg.train, cfg.train.lr_discriminator, epoch), jnp.float32
+            epoch_lr(cfg.train, cfg.train.lr_discriminator, epoch), jnp.float32
         )
         epoch_key = jax.random.fold_in(jax.random.key(cfg.train.seed), epoch)
 

@@ -44,6 +44,13 @@ class TrainState(struct.PyTreeNode):
         return self.replace(params=new_params, opt_state=new_opt_state)
 
 
+def epoch_lr(cfg: TrainConfig, base_lr: float, epoch: int) -> float:
+    """Per-epoch LR from the configured schedule."""
+    if cfg.lr_schedule == "cosine":
+        return cosine_lr(cfg, base_lr, epoch)
+    return linear_lr(cfg, base_lr, epoch)
+
+
 def linear_lr(cfg: TrainConfig, base_lr: float, epoch: int) -> float:
     """torch ``LinearLR(start_factor=1, end_factor=0.01,
     total_iters=num_epochs)`` (``src/train.py:70-71``): the factor
