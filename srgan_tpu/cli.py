@@ -126,7 +126,8 @@ def main(argv=None):
 
     if args.cmd == "train":
         from srgan_tpu.config import (
-            Config, DataConfig, ModelConfig, PoolConfig, TrainConfig,
+            Config, DataConfig, DiscriminatorConfig, ModelConfig, PoolConfig,
+            TrainConfig,
         )
         from srgan_tpu.training.loop import Trainer
 
@@ -135,6 +136,9 @@ def main(argv=None):
 
             initialize_multihost()
         cfg = Config(
+            discriminator=DiscriminatorConfig(
+                compute_dtype="bfloat16" if args.bf16 else "float32",
+            ),
             model=ModelConfig(
                 upscale_factor=args.upscale,
                 num_features=args.num_features,

@@ -35,8 +35,10 @@ class ModelConfig:
     # jax.checkpoint each residual block (more FLOPs, far less activation
     # HBM — bigger batches/images per chip).
     remat: bool = False
-    # lax.scan over the residual tower (stacked block params): much faster
-    # compiles, same math. Changes the param-tree layout.
+    # lax.scan over the residual tower (stacked block params): smaller HLO,
+    # same math. Changes the param-tree layout. Known issue: the flagship-
+    # size scanned train step crashes the dev tunnel's remote TPU compiler
+    # (small models and all CPU paths work); prefer remat/unrolled on TPU.
     scan_blocks: bool = False
     # bfloat16 compute keeps the conv towers on the MXU's fast path; params
     # stay float32 and are cast per-op.
