@@ -63,6 +63,19 @@ class TestTrainState:
             np.asarray(state.params["w"]), wt.detach().numpy(), rtol=1e-4, atol=1e-5
         )
 
+    def test_epoch_lr_dispatch(self):
+        from srgan_tpu.training.train_state import cosine_lr, epoch_lr, linear_lr
+
+        lin = TrainConfig(num_epochs=10, lr_schedule="linear")
+        cos = TrainConfig(num_epochs=10, lr_schedule="cosine")
+        assert epoch_lr(lin, 1e-4, 3) == linear_lr(lin, 1e-4, 3)
+        assert epoch_lr(cos, 1e-4, 3) == cosine_lr(cos, 1e-4, 3)
+        # cosine: starts at base, decays toward eta_min, never below it
+        vals = [cosine_lr(cos, 1e-4, e) for e in range(10)]
+        assert vals[0] == pytest.approx(1e-4)
+        assert all(v >= 5e-5 - 1e-12 for v in vals)
+        assert vals[-1] < vals[0]
+
     def test_linear_lr_schedule(self):
         """torch LinearLR(1 → 0.01 over N epochs) parity
         (``src/train.py:70-71``)."""
