@@ -68,7 +68,19 @@ def build() -> bool:
     return _load() is not None
 
 
+_BUILD_TRIED = False
+
+
 def available() -> bool:
+    """True when the shared library is loadable; attempts a one-time
+    automatic build (g++, ~2 s) if it is missing — falls back silently so
+    environments without a toolchain just use the PIL path."""
+    global _BUILD_TRIED
+    if _load() is not None:
+        return True
+    if not _BUILD_TRIED:
+        _BUILD_TRIED = True
+        build()
     return _load() is not None
 
 
