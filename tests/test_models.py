@@ -71,6 +71,14 @@ class TestSRResNet:
             np.asarray(y_sub), np.asarray(y_ref), rtol=1e-4, atol=1e-5
         )
 
+    def test_8x_upscale(self):
+        """log2 staging keeps 8x correct (the reference's ``factor//2`` loop
+        would build 4 stages = 16x, SURVEY §2 note)."""
+        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=8)
+        model, params = init_generator(cfg, jax.random.key(0), sample_hw=(4, 4))
+        out = model.apply({"params": params}, jnp.zeros((1, 4, 6, 3)))
+        assert out.shape == (1, 32, 48, 3)
+
     @pytest.mark.parametrize("factor", [2, 4])
     def test_upscale_shapes(self, factor):
         cfg = ModelConfig(num_features=16, num_residuals=2, upscale_factor=factor)
