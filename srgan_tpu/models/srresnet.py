@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from srgan_tpu.config import ModelConfig
-from srgan_tpu.ops.pixel_shuffle import pixel_shuffle
+from srgan_tpu.ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 
 
 def _dtype(name: str):
@@ -187,7 +187,7 @@ class SRResNet(nn.Module):
             out = nn.Conv(
                 self.in_channels, (9, 9), padding=4, dtype=self.compute_dtype
             )(out)
-        else:  # "subpixel": fold the RGB head through the final shuffle
+        else:  # "subpixel"/"coarse": fold the RGB head through the shuffles
             for _ in range(num_stages - 1):
                 out = nn.Conv(
                     self.num_features * 4, (3, 3), padding=1,
@@ -196,7 +196,7 @@ class SRResNet(nn.Module):
                 out = pixel_shuffle(out, 2)
                 out = nn.relu(out)
             # Final stage: conv → relu (commuted through the shuffle) →
-            # 5x5 phase conv emitting 3·r² channels → one shuffle. Identical
+            # phase conv emitting the RGB phases → shuffle(s). Identical
             # function class to [conv→ps→relu→conv9x9] at ~2.6x the speed
             # (the 9x9 full-res conv re-read its 800 MB input per tap).
             out = nn.Conv(
@@ -204,11 +204,30 @@ class SRResNet(nn.Module):
                 dtype=self.compute_dtype,
             )(out)
             out = nn.relu(out)
-            out = nn.Conv(
-                self.in_channels * 4, (5, 5), padding=2,
-                dtype=self.compute_dtype,
-            )(out)
-            out = pixel_shuffle(out, 2)
+            if self.head == "coarse" and num_stages >= 2:
+                # Fold the 5x5 phase conv one level further down: unshuffle
+                # the previous stage's 2x and run the equivalent 3x3 conv at
+                # the LOWEST resolution with 4x the channels. Function class
+                # strictly contains the subpixel head's (see
+                # fold_phase_conv_to_coarse + its equivalence test).
+                # MEASURED SLOWER than subpixel on v5e (246 vs 224 ms/step at
+                # flagship shapes): the unshuffle relayout + the 48-wide
+                # output (still padded to 128 lanes) eat the theoretical
+                # full-width-matmul win. Kept as a verified variant; subpixel
+                # remains the default.
+                out = pixel_unshuffle(out, 2)
+                out = nn.Conv(
+                    self.in_channels * 16, (3, 3), padding=1,
+                    dtype=self.compute_dtype,
+                )(out)
+                out = pixel_shuffle(out, 2)
+                out = pixel_shuffle(out, 2)
+            else:
+                out = nn.Conv(
+                    self.in_channels * 4, (5, 5), padding=2,
+                    dtype=self.compute_dtype,
+                )(out)
+                out = pixel_shuffle(out, 2)
         return out.astype(jnp.float32)
 
 
@@ -252,6 +271,47 @@ def reference_head_to_subpixel(k9: jax.Array, b3: jax.Array):
                                         ] = k9[u + 4, v + 4, d, cc]
     b12 = np.repeat(np.asarray(b3), 4)
     return jnp.asarray(k5_full), jnp.asarray(b12)
+
+
+def fold_phase_conv_to_coarse(k5: jax.Array, b12: jax.Array):
+    """Map a subpixel-head phase kernel to the equivalent coarse-head kernel.
+
+    ``k5``: (5, 5, C_in, C_out) HWIO kernel of the conv that runs AFTER one
+    pixel-shuffle in the subpixel head; ``b12``: (C_out,). Returns
+    ``(k3, b48)`` with ``k3``: (3, 3, 4·C_in, 4·C_out) such that
+    ``ps(conv5x5(x)) == ps(ps(conv3x3(unshuffle(x))))`` exactly.
+
+    Index algebra (r=2, torch channel order (c, rh, rw)): fine output pixel
+    (2i+a, 2j+b) reads fine input (2i+a+u, 2j+b+v) = coarse (i+s, j+t) phase
+    (p, q) with u = 2s + p − a, v = 2t + q − b; u, v ∈ [−2, 2] → s, t ∈
+    [−1, 1] (a 3x3 coarse kernel, zero where u or v falls out of range).
+    """
+    import numpy as np
+
+    kh, kw, cin, cout = k5.shape
+    assert (kh, kw) == (5, 5)
+    k5 = np.asarray(k5)
+    k3 = np.zeros((3, 3, 4 * cin, 4 * cout), np.float32)
+    for d in range(cin):
+        for p in range(2):
+            for q in range(2):
+                for c in range(cout):
+                    for a in range(2):
+                        for b in range(2):
+                            for s in range(-1, 2):
+                                for t in range(-1, 2):
+                                    u = 2 * s + p - a
+                                    v = 2 * t + q - b
+                                    if -2 <= u <= 2 and -2 <= v <= 2:
+                                        k3[
+                                            s + 1, t + 1,
+                                            d * 4 + p * 2 + q,
+                                            c * 4 + a * 2 + b,
+                                        ] = k5[u + 2, v + 2, d, c]
+    import numpy as _np
+
+    b48 = _np.repeat(_np.asarray(b12), 4)
+    return jnp.asarray(k3), jnp.asarray(b48)
 
 
 def init_generator(

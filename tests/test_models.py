@@ -71,6 +71,43 @@ class TestSRResNet:
             np.asarray(y_sub), np.asarray(y_ref), rtol=1e-4, atol=1e-5
         )
 
+    def test_coarse_head_equivalence(self, rng):
+        """coarse(subpixel-transformed weights) == subpixel, pixel for pixel:
+        ps∘conv5x5 == ps∘ps∘conv3x3∘unshuffle under
+        ``fold_phase_conv_to_coarse``."""
+        from srgan_tpu.models.srresnet import fold_phase_conv_to_coarse
+
+        cfg_s = ModelConfig(num_features=8, num_residuals=1, upscale_factor=4,
+                            head="subpixel")
+        model_s, params_s = init_generator(cfg_s, jax.random.key(0),
+                                           sample_hw=(8, 8))
+        cfg_c = ModelConfig(num_features=8, num_residuals=1, upscale_factor=4,
+                            head="coarse")
+        model_c, params_c = init_generator(cfg_c, jax.random.key(1),
+                                           sample_hw=(8, 8))
+
+        new = dict(params_s)
+        tail = sorted(k for k in params_s if k.startswith("Conv_"))[-1]
+        k3, b48 = fold_phase_conv_to_coarse(
+            params_s[tail]["kernel"], params_s[tail]["bias"]
+        )
+        new[tail] = {"kernel": k3, "bias": b48}
+
+        x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+        y_s = model_s.apply({"params": params_s}, x)
+        y_c = model_c.apply({"params": new}, x)
+        np.testing.assert_allclose(
+            np.asarray(y_c), np.asarray(y_s), rtol=1e-4, atol=1e-5
+        )
+
+    def test_coarse_head_2x_falls_back(self):
+        """At 2x there is only one shuffle — coarse == subpixel layout."""
+        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2,
+                          head="coarse")
+        model, params = init_generator(cfg, jax.random.key(0), sample_hw=(8, 8))
+        out = model.apply({"params": params}, jnp.zeros((1, 8, 8, 3)))
+        assert out.shape == (1, 16, 16, 3)
+
     def test_8x_upscale(self):
         """log2 staging keeps 8x correct (the reference's ``factor//2`` loop
         would build 4 stages = 16x, SURVEY §2 note)."""
