@@ -81,6 +81,21 @@ class TestTorchPort:
         got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
+    def test_4x_outputs_match(self, rng):
+        m = self._trained_torch(upscale=4)
+        x = rng.random((1, 12, 10, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = m(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        cfg, params = port_torch_srresnet(m.state_dict())
+        assert cfg.upscale_factor == 4
+        got = np.asarray(
+            SRResNet.from_config(cfg).apply({"params": params}, jnp.asarray(x))
+        )
+        assert got.shape == (1, 48, 40, 3)
+        np.testing.assert_allclose(
+            got, want.transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5
+        )
+
     def test_ddp_prefix_stripped(self, rng):
         m = self._trained_torch()
         sd = {f"module.{k}": v for k, v in m.state_dict().items()}
