@@ -4,7 +4,9 @@ for fake multi-chip, SURVEY.md §4).
 
 Note: env vars alone are NOT enough here — the driver environment presets
 ``JAX_PLATFORMS=axon`` (the real-TPU tunnel) and pytest plugins (jaxtyping)
-import jax before this conftest runs, baking that env into jax.config. The
+import jax before this conftest runs, baking that env into jax.config. Also,
+jax 0.9 ignores the legacy ``--xla_force_host_platform_device_count`` XLA
+flag entirely; ``jax_num_cpu_devices`` is the supported knob. The
 ``jax.config.update`` calls below take effect as long as no backend has been
 initialized yet, which is guaranteed at conftest-import time.
 """
