@@ -3,8 +3,11 @@
 The reference ships a 41-line DDP skeleton (``src/分布式训练示例.py``) showing
 init_process_group / DDP / DistributedSampler / mp.spawn with placeholder
 models. This is the TPU-native equivalent, runnable end to end on any JAX
-backend (on CPU, set ``XLA_FLAGS=--xla_force_host_platform_device_count=8``
-to fake an 8-device mesh):
+backend. To fake an 8-device mesh on CPU, set the env var
+``JAX_NUM_CPU_DEVICES=8`` (or call
+``jax.config.update("jax_num_cpu_devices", 8)`` before first device use) —
+the older ``XLA_FLAGS=--xla_force_host_platform_device_count=8`` flag is
+silently ignored by jax >= 0.9 (see ``tests/conftest.py``):
 
   1. one process per *host* (not per device); `jax.distributed.initialize()`
      replaces the TCP rendezvous when there are multiple hosts;

@@ -27,6 +27,11 @@ def _add_train(sub):
     p.add_argument("--num-generators", type=int, default=1)
     p.add_argument("--gan", action="store_true",
                    help="enable adversarial training (BASELINE configs 2+)")
+    p.add_argument("--perceptual", type=float, default=0.0, metavar="WEIGHT",
+                   help="VGG19 perceptual-loss weight, 0 = off (the "
+                        "reference's disabled utils.py:154-166 path; "
+                        "pretrained torchvision weights are ported from a "
+                        "local cache when present)")
     p.add_argument("--starting-gan-loss", type=float, default=0.05)
     p.add_argument("--continue-training", action="store_true",
                    help="fine-tune phase: reload checkpoint, LR/5, "
@@ -163,6 +168,7 @@ def main(argv=None):
                 lr_generator=args.lr_generator,
                 lr_discriminator=args.lr_discriminator,
                 use_gan=args.gan,
+                perceptual_weight=args.perceptual,
                 validate_every=args.validate_every,
                 results_dir=args.results_dir,
                 run_prefix=args.prefix,

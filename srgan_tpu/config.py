@@ -155,6 +155,16 @@ class TrainConfig:
     finetune_lr_divisor: float = 5.0
     # GAN loss terms (relativistic, tanh-squashed; ``train.py:190,218``).
     use_gan: bool = False
+    # VGG19 perceptual loss weight (0 = off, the reference's shipped state:
+    # it builds the extractor but comments the loss out of the loop,
+    # ``train.py:49,157``; loss at ``utils.py:154-166``). When > 0 the
+    # weighted feature-L1 term joins every generator objective. Pretrained
+    # torchvision weights are ported if a local cache exists
+    # (``models/vgg.py``); otherwise the extractor runs with its random
+    # init (still a valid fixed-feature prior).
+    perceptual_weight: float = 0.0
+    # Feature taps for the perceptual loss (``train.py:49``).
+    vgg_layers: Tuple[str, ...] = ("conv3_3", "conv4_3")
     validate_every: int = 5
     score_max_batches: int = 30  # compute_score cap (``train.py:271-272``)
     results_dir: str = "results"

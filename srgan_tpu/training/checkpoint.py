@@ -68,6 +68,22 @@ def save_checkpoint(
     return path
 
 
+def _ondisk_has_discriminator(ckptr: ocp.StandardCheckpointer, path: str):
+    """Probe the saved tree's top-level keys without reading array data.
+
+    Returns the discriminator's metadata subtree (a pytree of
+    shape/dtype metadata) if the checkpoint saved one, else ``None``.
+    """
+    meta = ckptr.metadata(path)
+    # StandardCheckpointer.metadata returns the item's tree-of-metadata
+    # (orbax >= 0.5 exposes it directly as a mapping-like pytree).
+    tree = getattr(meta, "item_metadata", meta)
+    try:
+        return tree["discriminator"]
+    except (KeyError, TypeError, IndexError):
+        return None
+
+
 def restore_checkpoint(
     results_dir: str,
     prefix: str,
@@ -76,8 +92,18 @@ def restore_checkpoint(
     d_state: Optional[TrainState],
 ):
     """Restore in place into freshly-initialized states (shape/dtype
-    templates). Returns (pool, d_state, epoch)."""
+    templates). Returns (pool, d_state, epoch).
+
+    Two-phase tolerance (readme.md:14 / ``src/train.py:51-59`` parity): the
+    on-disk tree is probed first, so a pixel-phase checkpoint (no
+    discriminator saved) restores cleanly into a GAN-phase Trainer — the
+    fresh ``d_state`` is kept as-is — and a GAN-phase checkpoint restores
+    into a pixel-phase Trainer by reading-and-discarding the saved
+    discriminator (the template mirrors the disk structure either way).
+    """
     path = _ckpt_dir(results_dir, prefix)
+    ckptr = ocp.StandardCheckpointer()
+    d_meta = _ondisk_has_discriminator(ckptr, path)
     template = {
         "generators": [
             {"params": m.state.params, "opt_state": m.state.opt_state}
@@ -86,12 +112,23 @@ def restore_checkpoint(
         "pool_meta": pool.snapshot(),
         "epoch": 0,
     }
-    if d_state is not None:
-        template["discriminator"] = {
-            "params": d_state.params,
-            "opt_state": d_state.opt_state,
-        }
-    ckptr = ocp.StandardCheckpointer()
+    if d_meta is not None:
+        if d_state is not None:
+            template["discriminator"] = {
+                "params": d_state.params,
+                "opt_state": d_state.opt_state,
+            }
+        else:
+            # Saved but unwanted (GAN checkpoint, pixel-phase resume):
+            # restore into shape-structs built from the on-disk metadata,
+            # then drop it.
+            import jax
+
+            template["discriminator"] = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype),
+                d_meta,
+                is_leaf=lambda m: hasattr(m, "shape") and hasattr(m, "dtype"),
+            )
     restored = ckptr.restore(path, target=template)
 
     for m, g in zip(pool.members, restored["generators"]):

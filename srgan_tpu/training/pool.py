@@ -99,6 +99,12 @@ class GeneratorPool:
             return self.cfg.p_gan_follower
         return self.cfg.p_gan_leader
 
+    def reseed(self, seed) -> None:
+        """Re-key the scheduler RNG (after a checkpoint restore, with the
+        resume epoch folded in, so the pixel-vs-GAN Bernoulli stream does
+        not replay from the start of the run)."""
+        self._rng = np.random.default_rng(seed)
+
     def choose_gan(self, index: int) -> bool:
         """Host-side Bernoulli draw selecting the GAN step for this batch."""
         return bool(self._rng.random() < self.gan_probability(index))

@@ -37,6 +37,7 @@ from srgan_tpu.ops.recon_loss import (
     edge_importance_map,
     reconstruction_loss_with_edges,
 )
+from srgan_tpu.training.steps import perceptual_term
 from srgan_tpu.training.train_state import TrainState
 
 
@@ -66,14 +67,21 @@ def unstack_states(stacked: TrainState, n: int):
 
 
 def _stacked_loss_fn(stacked_params, apply_fn, d_apply_fn, d_params,
-                     hr, lr_imgs, gan_mask):
+                     hr, lr_imgs, gan_mask,
+                     vgg_apply_fn=None, vgg_params=None, p_weight=0.0):
     """Sum over members of the per-member objective; grads decouple because
     each member's params only touch its own term. The HR edge map is shared
     across all members (it depends on HR only) and computed ONCE outside the
-    member vmap — the Sobel/normalize pass runs 1x instead of N x. (The
-    scalar-output Pallas loss kernel cannot run here: its HBM-space inputs
-    don't batch under Pallas auto-vmap.)"""
+    member vmap — the Sobel/normalize pass runs 1x instead of N x; the
+    VGG features of HR (perceptual loss, when enabled) share the same trick.
+    (The scalar-output Pallas loss kernel cannot run here: its HBM-space
+    inputs don't batch under Pallas auto-vmap.)"""
     edges = jax.lax.stop_gradient(edge_importance_map(hr))
+    f_real = None
+    if vgg_apply_fn is not None:
+        f_real = jax.lax.stop_gradient(
+            vgg_apply_fn({"params": vgg_params}, hr)
+        )
 
     def one(params, mask):
         sr = apply_fn({"params": params}, lr_imgs)
@@ -84,8 +92,11 @@ def _stacked_loss_fn(stacked_params, apply_fn, d_apply_fn, d_params,
             g_d = generator_adversarial_loss(real, fake)
         else:
             g_d = jnp.zeros(())
-        loss = com + tv + mask * g_d
-        return loss, (com, tv, g_d)
+        p = jnp.zeros(())
+        if f_real is not None:
+            p = perceptual_term(sr, f_real, vgg_apply_fn, vgg_params)
+        loss = com + tv + mask * g_d + p_weight * p
+        return loss, (com, tv, g_d, p)
 
     losses, aux = jax.vmap(one)(stacked_params, gan_mask)
     # sum (not mean): keeps each member's gradient identical to its solo
@@ -94,7 +105,9 @@ def _stacked_loss_fn(stacked_params, apply_fn, d_apply_fn, d_params,
 
 
 @functools.partial(
-    jax.jit, donate_argnums=(0,), static_argnames=("apply_fn", "d_apply_fn")
+    jax.jit,
+    donate_argnums=(0,),
+    static_argnames=("apply_fn", "d_apply_fn", "vgg_apply_fn"),
 )
 def stacked_pool_step(
     stacked_state: TrainState,
@@ -105,16 +118,21 @@ def stacked_pool_step(
     lr_imgs: jax.Array,
     gan_mask: jax.Array,
     lr: jax.Array,
+    vgg_apply_fn=None,
+    vgg_params: Any = None,
+    p_weight: float = 0.0,
 ) -> Tuple[TrainState, dict]:
     """One fused update of ALL pool members on one batch.
 
     ``gan_mask``: (N,) float — 1.0 where the member takes the adversarial
     term this batch (host-sampled Bernoulli per the Starting_GAN_loss gate).
+    ``vgg_apply_fn``/``vgg_params``/``p_weight``: optional frozen VGG
+    perceptual term, added to every member's objective when set.
     """
     grad_fn = jax.grad(_stacked_loss_fn, has_aux=True)
-    grads, (com, tv, g_d) = grad_fn(
+    grads, (com, tv, g_d, p) = grad_fn(
         stacked_state.params, apply_fn, d_apply_fn, d_params,
-        hr, lr_imgs, gan_mask,
+        hr, lr_imgs, gan_mask, vgg_apply_fn, vgg_params, p_weight,
     )
 
     # Per-member Adam under vmap: each slice sees its own scalar `count`.
@@ -127,8 +145,8 @@ def stacked_pool_step(
         grads, stacked_state.opt_state, stacked_state.params
     )
     new_state = stacked_state.replace(params=new_params, opt_state=new_opt)
-    metrics = {"com_loss": com, "tv_loss": tv, "g_d_loss": g_d,
-               "g_loss": com + tv + gan_mask * g_d}
+    metrics = {"com_loss": com, "tv_loss": tv, "g_d_loss": g_d, "p_loss": p,
+               "g_loss": com + tv + gan_mask * g_d + p_weight * p}
     return new_state, metrics
 
 
@@ -164,7 +182,7 @@ class StackedGeneratorPool:
         stacked_state: TrainState,
         n: int,
         cfg: PoolConfig,
-        seed: int = 0,
+        seed=0,  # any numpy SeedSequence entropy (int or tuple of ints)
     ):
         self.state = stacked_state
         self.n = n
@@ -176,7 +194,7 @@ class StackedGeneratorPool:
         self.pixel_updates = np.zeros(n, np.int64)
 
     @classmethod
-    def create(cls, states, cfg: PoolConfig, seed: int = 0):
+    def create(cls, states, cfg: PoolConfig, seed=0):
         return cls(stack_states(states), len(states), cfg, seed)
 
     # -- scheduler (same regimes as GeneratorPool.gan_probability) -------- #

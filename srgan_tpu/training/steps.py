@@ -31,53 +31,94 @@ from srgan_tpu.ops.recon_loss import reconstruction_loss
 from srgan_tpu.training.train_state import TrainState
 
 
-def generator_pixel_loss_fn(params, apply_fn, hr, lr_imgs):
+def perceptual_term(sr, f_real, vgg_apply_fn, vgg_params):
+    """Summed per-layer L1 distance between SR features and precomputed HR
+    features (reference ``perceptal_loss`` [sic], ``src/utils.py:154-166``;
+    the HR features carry no generator gradient so they are extracted once
+    and passed in)."""
+    f_fake = vgg_apply_fn({"params": vgg_params}, sr)
+    p_loss = jnp.zeros(())
+    for key in f_real:
+        p_loss = p_loss + jnp.mean(jnp.abs(f_fake[key] - f_real[key]))
+    return p_loss
+
+
+def generator_pixel_loss_fn(
+    params, apply_fn, hr, lr_imgs,
+    vgg_apply_fn=None, vgg_params=None, p_weight=0.0,
+):
     """Pixel-phase objective: edge-weighted L1 + masked TV
-    (``src/train.py:194-195``: ``g_loss = com_loss + tv_loss``)."""
+    (``src/train.py:194-195``: ``g_loss = com_loss + tv_loss``), plus the
+    opt-in VGG perceptual term (``src/utils.py:154-166``, disabled in the
+    reference's shipped loop — same default here)."""
     sr = apply_fn({"params": params}, lr_imgs)
     com_loss, tv_loss = reconstruction_loss(hr, sr)
     g_loss = com_loss + tv_loss
-    return g_loss, {"com_loss": com_loss, "tv_loss": tv_loss}
+    p_loss = jnp.zeros(())
+    if vgg_apply_fn is not None:
+        f_real = jax.lax.stop_gradient(vgg_apply_fn({"params": vgg_params}, hr))
+        p_loss = perceptual_term(sr, f_real, vgg_apply_fn, vgg_params)
+        g_loss = g_loss + p_weight * p_loss
+    return g_loss, {"com_loss": com_loss, "tv_loss": tv_loss, "p_loss": p_loss}
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("vgg_apply_fn",)
+)
 def generator_pixel_step(
-    g_state: TrainState, hr: jax.Array, lr_imgs: jax.Array, lr: jax.Array
+    g_state: TrainState,
+    hr: jax.Array,
+    lr_imgs: jax.Array,
+    lr: jax.Array,
+    vgg_apply_fn=None,
+    vgg_params: Any = None,
+    p_weight: float = 0.0,
 ) -> Tuple[TrainState, dict]:
     """One pixel-loss generator update (``train_generator``,
     ``src/train.py:175-203``, with the adversarial term at its shipped
-    default of 0)."""
+    default of 0). With ``vgg_apply_fn`` set, adds the weighted perceptual
+    term (one fused executable either way — the branch is trace-time)."""
     (g_loss, aux), grads = jax.value_and_grad(
         generator_pixel_loss_fn, has_aux=True
-    )(g_state.params, g_state.apply_fn, hr, lr_imgs)
+    )(g_state.params, g_state.apply_fn, hr, lr_imgs,
+      vgg_apply_fn, vgg_params, p_weight)
     new_state = g_state.apply_gradients(grads, lr)
-    metrics = {
-        "g_loss": g_loss,
-        "com_loss": aux["com_loss"],
-        "tv_loss": aux["tv_loss"],
-        "g_d_loss": jnp.zeros(()),
-    }
+    metrics = {"g_loss": g_loss, "g_d_loss": jnp.zeros(()), **aux}
     return new_state, metrics
 
 
-def generator_gan_loss_fn(params, apply_fn, d_apply_fn, d_params, hr, lr_imgs):
+def generator_gan_loss_fn(
+    params, apply_fn, d_apply_fn, d_params, hr, lr_imgs,
+    vgg_apply_fn=None, vgg_params=None, p_weight=0.0,
+):
     """GAN-phase objective: pixel terms + relativistic adversarial term
     ``mean(tanh(real_preds - fake_preds))`` (``src/train.py:184-192``, the
-    commented-out generator adversarial path, active in BASELINE configs 2+)."""
+    commented-out generator adversarial path, active in BASELINE configs 2+),
+    plus the opt-in perceptual term."""
     sr = apply_fn({"params": params}, lr_imgs)
     com_loss, tv_loss = reconstruction_loss(hr, sr)
     fake_preds = d_apply_fn({"params": d_params}, sr)
     real_preds = jax.lax.stop_gradient(d_apply_fn({"params": d_params}, hr))
     g_d_loss = generator_adversarial_loss(real_preds, fake_preds)
     g_loss = com_loss + tv_loss + g_d_loss
+    p_loss = jnp.zeros(())
+    if vgg_apply_fn is not None:
+        f_real = jax.lax.stop_gradient(vgg_apply_fn({"params": vgg_params}, hr))
+        p_loss = perceptual_term(sr, f_real, vgg_apply_fn, vgg_params)
+        g_loss = g_loss + p_weight * p_loss
     return g_loss, {
         "com_loss": com_loss,
         "tv_loss": tv_loss,
         "g_d_loss": g_d_loss,
+        "p_loss": p_loss,
     }
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("d_apply_fn",))
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0,),
+    static_argnames=("d_apply_fn", "vgg_apply_fn"),
+)
 def generator_gan_step(
     g_state: TrainState,
     d_apply_fn,
@@ -85,42 +126,19 @@ def generator_gan_step(
     hr: jax.Array,
     lr_imgs: jax.Array,
     lr: jax.Array,
+    vgg_apply_fn=None,
+    vgg_params: Any = None,
+    p_weight: float = 0.0,
 ) -> Tuple[TrainState, dict]:
     (g_loss, aux), grads = jax.value_and_grad(generator_gan_loss_fn, has_aux=True)(
-        g_state.params, g_state.apply_fn, d_apply_fn, d_params, hr, lr_imgs
+        g_state.params, g_state.apply_fn, d_apply_fn, d_params, hr, lr_imgs,
+        vgg_apply_fn, vgg_params, p_weight,
     )
     new_state = g_state.apply_gradients(grads, lr)
     metrics = {"g_loss": g_loss, **aux}
     return new_state, metrics
 
 
-def generator_perceptual_loss_fn(
-    params, apply_fn, vgg_apply_fn, vgg_params, hr, lr_imgs, weight
-):
-    """Pixel objective + VGG-feature L1 perceptual term.
-
-    The reference builds the VGG extractor but leaves the perceptual loss
-    commented out of the loop (``src/train.py:49,157``; loss at
-    ``src/utils.py:154-166``); here it is an opt-in step variant
-    (``TrainConfig`` / ``generator_perceptual_step``)."""
-    sr = apply_fn({"params": params}, lr_imgs)
-    com_loss, tv_loss = reconstruction_loss(hr, sr)
-    f_real = vgg_apply_fn({"params": vgg_params}, hr)
-    f_fake = vgg_apply_fn({"params": vgg_params}, sr)
-    p_loss = jnp.zeros(())
-    for key in f_real:
-        p_loss = p_loss + jnp.mean(jnp.abs(f_fake[key] - f_real[key]))
-    g_loss = com_loss + tv_loss + weight * p_loss
-    return g_loss, {
-        "com_loss": com_loss,
-        "tv_loss": tv_loss,
-        "p_loss": p_loss,
-    }
-
-
-@functools.partial(
-    jax.jit, donate_argnums=(0,), static_argnames=("vgg_apply_fn",)
-)
 def generator_perceptual_step(
     g_state: TrainState,
     vgg_apply_fn,
@@ -128,14 +146,18 @@ def generator_perceptual_step(
     hr: jax.Array,
     lr_imgs: jax.Array,
     lr: jax.Array,
-    weight: jax.Array,
+    weight,
 ) -> Tuple[TrainState, dict]:
-    (g_loss, aux), grads = jax.value_and_grad(
-        generator_perceptual_loss_fn, has_aux=True
-    )(g_state.params, g_state.apply_fn, vgg_apply_fn, vgg_params, hr, lr_imgs,
-      weight)
-    new_state = g_state.apply_gradients(grads, lr)
-    return new_state, {"g_loss": g_loss, "g_d_loss": jnp.zeros(()), **aux}
+    """Pixel objective + VGG-feature L1 perceptual term, as one update.
+
+    The reference builds the VGG extractor but leaves the perceptual loss
+    commented out of the loop (``src/train.py:49,157``; loss at
+    ``src/utils.py:154-166``); here it is reachable via
+    ``TrainConfig.perceptual_weight`` / ``--perceptual``. Thin alias over
+    :func:`generator_pixel_step` with the VGG arguments threaded through."""
+    return generator_pixel_step(
+        g_state, hr, lr_imgs, lr, vgg_apply_fn, vgg_params, weight
+    )
 
 
 def discriminator_loss_fn(d_params, d_apply_fn, g_apply_fn, g_params, hr, lr_imgs):

@@ -66,10 +66,16 @@ def cosine_lr(
     cfg: TrainConfig, base_lr: float, epoch: int, eta_min_ratio: float = 0.5
 ) -> float:
     """The reference's commented-out CosineAnnealingLR variant
-    (``src/train.py:68-69``), provided for parity."""
+    (``src/train.py:68-69``: ``T_max=num_epochs - warmUp_epochs``,
+    ``eta_min=lr/2`` — both commented lines use eta_min=lr/2, hence the
+    0.5 default). Matches torch's closed form exactly, including the
+    continuation PAST ``T_max`` where the cosine rises back toward
+    ``base_lr`` (torch does not clamp; neither do we)."""
     import math
 
     t_max = max(1, cfg.num_epochs - cfg.num_epochs // 5)
     eta_min = base_lr * eta_min_ratio
-    t = min(epoch, t_max)
-    return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * t / t_max)) / 2
+    return (
+        eta_min
+        + (base_lr - eta_min) * (1 + math.cos(math.pi * epoch / t_max)) / 2
+    )

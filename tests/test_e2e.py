@@ -154,6 +154,83 @@ class TestEndToEnd:
         # run 1 logged epochs 1,2; the resumed run logged 3,4 (not 1,2 again)
         assert epochs_logged == [1, 2, 3, 4]
 
+    def test_pixel_to_gan_finetune(self, tmp_path, data_dirs):
+        """Cross-phase fine-tune (readme.md:14 / ``src/train.py:51-59``):
+        phase 1 trains pixel-only, so its checkpoint has NO discriminator;
+        phase 2 reloads it with --gan — generators restore, the
+        discriminator starts fresh (round-1 ADVICE high-severity fix)."""
+        train_dir, val_dir = data_dirs
+        cfg1 = _tiny_cfg(tmp_path, hr=64, num_epochs=1)
+        Trainer(cfg1, use_mesh=False).train(train_dir, val_dir)
+
+        base = _tiny_cfg(tmp_path, hr=64, num_epochs=1, use_gan=True)
+        cfg2 = Config(
+            model=base.model, data=base.data, train=base.train,
+            discriminator=DiscriminatorConfig(num_filters=8, num_stages=2),
+            pool=PoolConfig(
+                num_generators=1, starting_gan_loss=1e9,
+                p_gan_above=1.0, p_gan_leader=1.0,
+            ),
+        )
+        t2 = Trainer(cfg2, use_mesh=False)
+        last = t2.train(train_dir, val_dir, continue_training=True)
+        assert t2.cfg.train.run_prefix == "Post-Training"
+        assert np.isfinite(last["g_loss"])
+        assert np.isfinite(last["d_loss"]) and last["d_loss"] != 0.0
+        assert last["g_d_loss"] != 0.0  # adversarial fine-tune was live
+
+    def test_gan_to_pixel_finetune(self, tmp_path, data_dirs):
+        """Reverse crossing: a GAN-phase checkpoint (discriminator on disk)
+        restores into a pixel-phase Trainer — the saved discriminator is
+        read against metadata-derived shape structs and discarded."""
+        train_dir, val_dir = data_dirs
+        base = _tiny_cfg(tmp_path, hr=64, num_epochs=1, use_gan=True)
+        cfg1 = Config(
+            model=base.model, data=base.data, train=base.train,
+            discriminator=DiscriminatorConfig(num_filters=8, num_stages=2),
+        )
+        t1 = Trainer(cfg1, use_mesh=False)
+        t1.train(train_dir, val_dir)
+        g_params_saved = t1.pool.members[0].state.params
+
+        cfg2 = _tiny_cfg(tmp_path, hr=64, num_epochs=1)
+        t2 = Trainer(cfg2, use_mesh=False)
+        last = t2.train(train_dir, val_dir, continue_training=True)
+        assert t2.d_state is None
+        assert np.isfinite(last["g_loss"])
+        # the generator really restored (phase-2 started from phase-1 params)
+        import jax
+
+        leaves1 = jax.tree.leaves(g_params_saved)
+        leaves2 = jax.tree.leaves(t2.pool.members[0].state.params)
+        assert len(leaves1) == len(leaves2)
+
+    def test_perceptual_training_runs(self, tmp_path, data_dirs):
+        """Opt-in VGG perceptual term (``src/utils.py:154-166``) reachable
+        from the Trainer: p_loss is live and finite, training completes."""
+        train_dir, val_dir = data_dirs
+        cfg = _tiny_cfg(tmp_path, num_epochs=1, perceptual_weight=0.05)
+        trainer = Trainer(cfg, use_mesh=False)
+        assert trainer.vgg_apply is not None
+        last = trainer.train(train_dir, val_dir)
+        assert np.isfinite(last["g_loss"])
+        assert np.isfinite(last["p_loss"]) and last["p_loss"] > 0.0
+
+    def test_perceptual_stacked_pool_runs(self, tmp_path, data_dirs):
+        """Perceptual term through the fused vmap-stacked pool step (HR
+        features computed once, shared across members)."""
+        train_dir, val_dir = data_dirs
+        base = _tiny_cfg(tmp_path, num_epochs=1, perceptual_weight=0.05)
+        cfg = Config(
+            model=base.model, data=base.data, train=base.train,
+            pool=PoolConfig(num_generators=2),
+        )
+        trainer = Trainer(cfg, use_mesh=False)
+        assert trainer.spool is not None
+        last = trainer.train(train_dir, val_dir)
+        assert np.isfinite(last["p_loss"]) and last["p_loss"] > 0.0
+        assert len(last["pool"]) == 2
+
     def test_multi_generator_pool_run(self, tmp_path, data_dirs):
         """BASELINE config 3 shape: 3-generator loss-sorted pool (pixel-only
         here; GAN gating exercised in test_gan_training)."""
