@@ -45,6 +45,14 @@ def _add_train(sub):
                    help="comparison-grid cadence in epochs (train.py:114)")
     p.add_argument("--noise-std-max", type=float, default=0.03,
                    help="max per-image LR noise severity (transformers.py:76)")
+    p.add_argument("--salt-prob", type=float, default=0.0,
+                   help="salt-spot density bound for LR corruption "
+                        "(transformers.py:39-70; 0 = off, the reference's "
+                        "unused default)")
+    p.add_argument("--pepper-prob", type=float, default=0.0,
+                   help="pepper-spot density bound (see --salt-prob)")
+    p.add_argument("--spot-size", type=int, default=1,
+                   help="square spot side for salt & pepper corruption")
     p.add_argument("--lr-generator", type=float, default=1e-4)
     p.add_argument("--lr-discriminator", type=float, default=5e-5)
     p.add_argument("--results-dir", default="results")
@@ -70,6 +78,9 @@ def _add_eval(sub):
     p.add_argument("-hr", "--hr_dir", default="original")
     p.add_argument("--no-extra-downscale", action="store_true")
     p.add_argument("--no-enhance", action="store_true")
+    p.add_argument("--bucketed", action="store_true",
+                   help="pad to the set's max size + masked metrics: ONE "
+                        "compiled SR/metric graph for size-diverse sets")
     p.add_argument("--results-dir", default="results")
     p.add_argument("--prefix", default="Training")
     p.add_argument("--torch-checkpoint", default=None,
@@ -158,6 +169,9 @@ def main(argv=None):
                 upscale_factor=args.upscale,
                 batch_size=args.batch_size,
                 noise_std_max=args.noise_std_max,
+                salt_prob=args.salt_prob,
+                pepper_prob=args.pepper_prob,
+                sp_spot_size=args.spot_size,
             ),
             pool=PoolConfig(
                 num_generators=args.num_generators,
@@ -201,6 +215,7 @@ def main(argv=None):
             torch_checkpoint=args.torch_checkpoint,
             extra_downscale=not args.no_extra_downscale,
             apply_enhance=not args.no_enhance,
+            bucketed=args.bucketed,
         )
     elif args.cmd == "upscale":
         import os

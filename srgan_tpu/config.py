@@ -38,7 +38,8 @@ class ModelConfig:
     # lax.scan over the residual tower (stacked block params): smaller HLO,
     # same math. Changes the param-tree layout. Known issue: the flagship-
     # size scanned train step crashes the dev tunnel's remote TPU compiler
-    # (small models and all CPU paths work); prefer remat/unrolled on TPU.
+    # (small models and all CPU paths work) — init_generator fails fast
+    # with a clear error when scan_blocks=True on the TPU backend.
     scan_blocks: bool = False
     # bfloat16 compute keeps the conv towers on the MXU's fast path; params
     # stay float32 and are cast per-op.
@@ -75,6 +76,12 @@ class DataConfig:
     # Max stddev of the per-image gaussian noise added to LR inputs;
     # severity ~ U(0, max) per image (``transformers.py:76``).
     noise_std_max: float = 0.03
+    # Salt & pepper spot corruption of the LR inputs
+    # (``transformers.py:39-70``). Default off — the reference defines the
+    # transform but never wires it into its train path either.
+    salt_prob: float = 0.0
+    pepper_prob: float = 0.0
+    sp_spot_size: int = 1
     prefetch_depth: int = 2
     num_workers: int = 4
     drop_remainder: bool = True
@@ -122,6 +129,16 @@ class PoolConfig:
     # (one fused step updates all members — the TPU-idiomatic layout,
     # SURVEY.md §2 EP row) instead of sequential per-member steps.
     stacked: bool = True
+    # Which generator the shared discriminator trains against each batch.
+    # "leader" (default): the current best member's SR — the README names
+    # member 0 "the main information generator" (readme.md:7) and mostly
+    # routes GAN updates to it once converged, so D specializes against the
+    # distribution the adversarial gradients actually flow to; followers
+    # read the same D, which is exactly the README's leader-centric
+    # competitive dynamic. "round_robin": cycle D's fake batch through all
+    # members so it sees the whole pool's output distribution (same cost —
+    # still one D step per batch).
+    d_train_target: str = "leader"  # "leader" | "round_robin"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -173,6 +190,11 @@ class TrainConfig:
     # opt-in NaN debugging, replacing the reference's always-on
     # ``set_detect_anomaly(True)`` (``train.py:177,207``; SURVEY.md §5).
     debug_nans: bool = False
+    # Multi-host metric aggregation: all-reduce (mean) the scalar epoch
+    # metrics across hosts before logging, instead of the reference's
+    # one-curve-per-rank files (``train.py:123-137``). Default off = per-host
+    # parity.
+    reduce_metrics: bool = False
     # Preemption-safe periodic checkpointing: snapshot the full state every
     # N epochs (0 = end-of-run only, the reference's behavior,
     # ``train.py:123-125``). ``Trainer.train(resume=True)`` continues the

@@ -252,6 +252,9 @@ class TrainPipeline:
                 dataset, idx, step_key,
                 factor=self.cfg.upscale_factor,
                 noise_std_max=self.cfg.noise_std_max,
+                salt_prob=self.cfg.salt_prob,
+                pepper_prob=self.cfg.pepper_prob,
+                spot_size=self.cfg.sp_spot_size,
             )
             if self.sharding is not None:
                 hr = jax.device_put(hr, self.sharding)
@@ -272,6 +275,9 @@ class TrainPipeline:
                 step_key,
                 factor=self.cfg.upscale_factor,
                 noise_std_max=self.cfg.noise_std_max,
+                salt_prob=self.cfg.salt_prob,
+                pepper_prob=self.cfg.pepper_prob,
+                spot_size=self.cfg.sp_spot_size,
             )
 
     def close(self):

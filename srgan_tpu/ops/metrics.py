@@ -48,10 +48,11 @@ def _uniform_filter_valid3(x: jax.Array) -> jax.Array:
     return s / 9.0
 
 
-def _ssim_single_channel(
+def _ssim_map_single_channel(
     x: jax.Array, y: jax.Array, data_range: float
 ) -> jax.Array:
-    """SSIM of one (H, W) channel pair, skimage semantics with win_size=3."""
+    """(H-2, W-2) SSIM map of one (H, W) channel pair, skimage semantics
+    with win_size=3 (valid-conv output *is* skimage's interior crop)."""
     k1, k2 = 0.01, 0.03
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
@@ -71,10 +72,14 @@ def _ssim_single_channel(
     a2 = 2.0 * vxy + c2
     b1 = ux * ux + uy * uy + c1
     b2 = vx + vy + c2
-    s = (a1 * a2) / (b1 * b2)
-    # Valid-conv output already *is* skimage's interior crop: uniform_filter
-    # values at interior pixels depend only on in-bounds neighbours.
-    return jnp.mean(s)
+    return (a1 * a2) / (b1 * b2)
+
+
+def _ssim_single_channel(
+    x: jax.Array, y: jax.Array, data_range: float
+) -> jax.Array:
+    """SSIM of one (H, W) channel pair, skimage semantics with win_size=3."""
+    return jnp.mean(_ssim_map_single_channel(x, y, data_range))
 
 
 def ssim(img1: jax.Array, img2: jax.Array, data_range: float = 1.0) -> jax.Array:
@@ -85,6 +90,52 @@ def ssim(img1: jax.Array, img2: jax.Array, data_range: float = 1.0) -> jax.Array
         functools.partial(_ssim_single_channel, data_range=data_range),
         in_axes=(-1, -1),
     )(img1, img2)
+    return jnp.mean(per_channel)
+
+
+def psnr_masked(
+    img1: jax.Array, img2: jax.Array, valid_h, valid_w,
+    data_range: float = 1.0,
+) -> jax.Array:
+    """PSNR over the top-left ``valid_h x valid_w`` region of padded HWC
+    images. With the full region valid this equals :func:`psnr` (the
+    size-bucketed eval path's invariant, ``tests/test_eval.py``).
+
+    ``valid_h``/``valid_w`` are traced scalars: one executable serves every
+    image in a size bucket."""
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
+    h, w, c = img1.shape
+    mask = (
+        (jnp.arange(h) < valid_h)[:, None] & (jnp.arange(w) < valid_w)[None, :]
+    )[..., None]
+    sq = jnp.where(mask, (img1 - img2) ** 2, 0.0)
+    mse = jnp.sum(sq) / (jnp.sum(mask) * c)
+    return 10.0 * jnp.log10((data_range**2) / mse)
+
+
+def ssim_masked(
+    img1: jax.Array, img2: jax.Array, valid_h, valid_w,
+    data_range: float = 1.0,
+) -> jax.Array:
+    """SSIM (win_size=3, skimage semantics) over only the 3x3 windows that
+    lie fully inside the valid region of padded HWC images. Full-region
+    valid ⇒ equals :func:`ssim` exactly (every valid-conv window is kept,
+    matching skimage's interior crop)."""
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
+    h, w, _ = img1.shape
+    # valid-conv map index (i, j) covers pixels [i, i+2] x [j, j+2]
+    map_mask = (
+        (jnp.arange(h - 2) < valid_h - 2)[:, None]
+        & (jnp.arange(w - 2) < valid_w - 2)[None, :]
+    )
+
+    def one_channel(x, y):
+        s = _ssim_map_single_channel(x, y, data_range)
+        return jnp.sum(jnp.where(map_mask, s, 0.0)) / jnp.sum(map_mask)
+
+    per_channel = jax.vmap(one_channel, in_axes=(-1, -1))(img1, img2)
     return jnp.mean(per_channel)
 
 

@@ -11,7 +11,11 @@ Fidelity note (documented deviation, SURVEY.md §7(a)): the reference degrades
 the *original* image to LR while normalizing the same original to HR; we
 degrade the canonical HR tensor. With sources larger than the HR clip the two
 differ only by resampling error of the intermediate; PSNR parity is gated by
-the golden-tolerance tests in ``tests/test_resize.py``.
+the golden-tolerance tests in ``tests/test_resize.py``. Pinned tolerances
+(vs the reference's host oracles): bilinear downscale max|Δ| < 2e-3 vs torch
+antialiased interpolate; bicubic downscale < 6e-3; bicubic upscale < 1e-5 vs
+float-mode PIL (identical a=-0.5 Keys kernel); degrade-from-HR vs
+degrade-from-original LR agreement ≥ 38 dB PSNR on synthetic sets.
 """
 
 from __future__ import annotations
@@ -38,31 +42,50 @@ def resize_bilinear(img: jax.Array, size: Tuple[int, int]) -> jax.Array:
     return jax.image.resize(img, shape, method="bilinear", antialias=True)
 
 
-@functools.partial(jax.jit, static_argnames=("factor",))
+@functools.partial(
+    jax.jit,
+    static_argnames=("factor", "salt_prob", "pepper_prob", "spot_size"),
+)
 def degrade_batch(
-    hr: jax.Array, key: jax.Array, *, factor: int = 4, noise_std_max: float = 0.03
+    hr: jax.Array, key: jax.Array, *, factor: int = 4,
+    noise_std_max: float = 0.03,
+    salt_prob: float = 0.0, pepper_prob: float = 0.0, spot_size: int = 1,
 ) -> jax.Array:
     """HR NHWC batch → noisy LR batch.
 
     Mirrors ``downward_img_quality`` (``src/transformers.py:73-77``): bilinear
     downscale by ``factor``, then additive gaussian noise whose stddev is
     drawn per image from U(0, noise_std_max) — the reference samples a fresh
-    severity per ``__call__``, i.e. per image.
+    severity per ``__call__``, i.e. per image. Optional salt & pepper spots
+    (``src/transformers.py:39-70``, off by default like the reference's
+    unused transform) are applied per image after the noise.
     """
     b, h, w, _ = hr.shape
     lr = resize_bilinear(hr, (h // factor, w // factor))
-    k_std, k_noise = jax.random.split(key)
+    k_std, k_noise, k_sp = jax.random.split(key, 3)
     std = jax.random.uniform(
         k_std, (b, 1, 1, 1), minval=0.0, maxval=noise_std_max, dtype=lr.dtype
     )
     noise = jax.random.normal(k_noise, lr.shape, dtype=lr.dtype)
-    return lr + noise * std
+    lr = lr + noise * std
+    if salt_prob > 0.0 or pepper_prob > 0.0:
+        keys = jax.random.split(k_sp, b)
+        lr = jax.vmap(
+            lambda im, k: add_salt_pepper(
+                im, k, salt_prob, pepper_prob, spot_size
+            )
+        )(lr, keys)
+    return lr
 
 
-@functools.partial(jax.jit, static_argnames=("factor",))
+@functools.partial(
+    jax.jit,
+    static_argnames=("factor", "salt_prob", "pepper_prob", "spot_size"),
+)
 def prepare_batch(
     hr_u8: jax.Array, key: jax.Array, *, factor: int = 4,
     noise_std_max: float = 0.03,
+    salt_prob: float = 0.0, pepper_prob: float = 0.0, spot_size: int = 1,
 ):
     """uint8 HR batch → (float32 HR, degraded float32 LR), all on device.
 
@@ -71,21 +94,30 @@ def prepare_batch(
     conversion and the LR degradation run fused on device.
     """
     hr = hr_u8.astype(jnp.float32) * (1.0 / 255.0)
-    lr = degrade_batch(hr, key, factor=factor, noise_std_max=noise_std_max)
+    lr = degrade_batch(
+        hr, key, factor=factor, noise_std_max=noise_std_max,
+        salt_prob=salt_prob, pepper_prob=pepper_prob, spot_size=spot_size,
+    )
     return hr, lr
 
 
-@functools.partial(jax.jit, static_argnames=("factor",), donate_argnums=())
+@functools.partial(
+    jax.jit,
+    static_argnames=("factor", "salt_prob", "pepper_prob", "spot_size"),
+    donate_argnums=(),
+)
 def gather_prepare_batch(
     dataset_u8: jax.Array, idx: jax.Array, key: jax.Array, *,
     factor: int = 4, noise_std_max: float = 0.03,
+    salt_prob: float = 0.0, pepper_prob: float = 0.0, spot_size: int = 1,
 ):
     """Device-resident-dataset path: gather a batch by index from the uint8
     dataset cached in HBM, then convert + degrade — zero host→device bytes
     per step after the one-time dataset upload."""
     hr_u8 = jnp.take(dataset_u8, idx, axis=0)
     return prepare_batch(
-        hr_u8, key, factor=factor, noise_std_max=noise_std_max
+        hr_u8, key, factor=factor, noise_std_max=noise_std_max,
+        salt_prob=salt_prob, pepper_prob=pepper_prob, spot_size=spot_size,
     )
 
 
@@ -99,25 +131,63 @@ def add_gaussian_noise(
     return jnp.clip(img + noise, 0.0, 1.0)
 
 
+def grow_spots(seeds: jax.Array, spot_size: int) -> jax.Array:
+    """Dilate a boolean (H, W) seed mask so each seed at (y, x) covers the
+    square [y, y+spot_size) x [x, x+spot_size) — the exact footprint of the
+    reference's ``img[:, y:y+s, x:x+s] = v`` spot writes
+    (``src/transformers.py:60,68``), expressed as one max-pool window op
+    instead of a host-side coordinate loop."""
+    if spot_size <= 1:
+        return seeds
+    s = spot_size
+    grown = jax.lax.reduce_window(
+        seeds.astype(jnp.float32),
+        0.0,
+        jax.lax.max,
+        window_dimensions=(s, s),
+        window_strides=(1, 1),
+        padding=((s - 1, 0), (s - 1, 0)),
+    )
+    return grown > 0.0
+
+
 def add_salt_pepper(
     img: jax.Array,
     key: jax.Array,
     salt_prob: float = 0.001,
     pepper_prob: float = 0.001,
+    spot_size: int = 1,
 ) -> jax.Array:
     """Vectorized salt-and-pepper spots for an HWC image.
 
-    Reference ``AddSaltPepperSpots`` (``src/transformers.py:39-70``) loops
-    over sampled coordinates on the host; here each pixel is independently
-    salted/peppered with probability ~ U(0, p) * p-scaled masks — same
-    expected corruption density, fully parallel, jit/TPU-friendly (no
-    data-dependent loop bounds).
+    Reference ``AddSaltPepperSpots`` (``src/transformers.py:39-70``) draws
+    ``num_pixels * U(0, p)`` square spots and writes them in a host-side
+    coordinate loop. TPU-native equivalence: every valid top-left position
+    seeds independently with the density that gives the same expected spot
+    count, and seeds are dilated to ``spot_size``-square footprints with a
+    max-pool window — same expected corruption density and identical spot
+    geometry (incl. overlap semantics: salt first, pepper wins), fully
+    parallel, no data-dependent loop bounds.
     """
     k_s, k_p, k_su, k_pu = jax.random.split(key, 4)
     h, w, _ = img.shape
-    salt_density = jax.random.uniform(k_su, (), minval=0.0, maxval=salt_prob)
-    pepper_density = jax.random.uniform(k_pu, (), minval=0.0, maxval=pepper_prob)
-    salt = jax.random.uniform(k_s, (h, w, 1)) < salt_density
-    pepper = jax.random.uniform(k_p, (h, w, 1)) < pepper_density
-    img = jnp.where(salt, 1.0, img)
-    return jnp.where(pepper, 0.0, img)
+    s = spot_size
+    # Reference spot count is num_pixels * U(0, p) over (h-s+1)(w-s+1)
+    # valid top-left coords → per-position seed density scales by the ratio.
+    scale = (h * w) / float((h - s + 1) * (w - s + 1))
+    salt_density = (
+        jax.random.uniform(k_su, (), minval=0.0, maxval=salt_prob) * scale
+    )
+    pepper_density = (
+        jax.random.uniform(k_pu, (), minval=0.0, maxval=pepper_prob) * scale
+    )
+    row_valid = (jnp.arange(h) < (h - s + 1))[:, None]
+    col_valid = (jnp.arange(w) < (w - s + 1))[None, :]
+    valid = row_valid & col_valid
+
+    def spot_mask(k, density):
+        seeds = (jax.random.uniform(k, (h, w)) < density) & valid
+        return grow_spots(seeds, s)[:, :, None]
+
+    img = jnp.where(spot_mask(k_s, salt_density), 1.0, img)
+    return jnp.where(spot_mask(k_p, pepper_density), 0.0, img)

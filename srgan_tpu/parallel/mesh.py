@@ -60,3 +60,42 @@ def process_shard_info() -> tuple:
     ``DistributedSampler(num_replicas, rank)`` equivalent
     (``src/train.py:90-93``)."""
     return jax.process_count(), jax.process_index()
+
+
+def combine_host_metrics(per_host: list) -> dict:
+    """Merge per-host metric dicts: finite scalars are averaged across
+    hosts, everything else (epoch counters, pool snapshots, strings) is
+    taken from host 0 verbatim."""
+    base = per_host[0]
+    out = dict(base)
+    for k, v in base.items():
+        if not isinstance(v, float):
+            continue
+        vals = [h[k] for h in per_host if k in h]
+        out[k] = float(np.mean([x for x in vals if np.isfinite(x)] or [v]))
+    return out
+
+
+def reduce_metrics(metrics: dict) -> dict:
+    """Cross-host mean of the scalar metrics in an epoch record.
+
+    The reference writes one metrics curve PER RANK (``src/train.py:123-137``,
+    rank-suffixed files); that per-host behavior stays the default here, and
+    this all-reduce is the opt-in aggregation (``TrainConfig.reduce_metrics``)
+    so multi-host runs can log one global curve. Identity when
+    single-process."""
+    if jax.process_count() == 1:
+        return dict(metrics)
+    from jax.experimental import multihost_utils
+
+    keys = sorted(
+        k for k, v in metrics.items()
+        if isinstance(v, float) and not isinstance(v, bool)
+    )
+    vec = np.asarray([metrics[k] for k in keys], np.float32)
+    gathered = np.asarray(multihost_utils.process_allgather(vec))  # (P, K)
+    per_host = [
+        {**metrics, **{k: float(row[i]) for i, k in enumerate(keys)}}
+        for row in gathered
+    ]
+    return combine_host_metrics(per_host)

@@ -228,10 +228,25 @@ class Trainer:
         for hr, lr_imgs in pipeline.epoch(epoch, epoch_key):
             d_loss = None
             if use_gan:
+                # Discriminator policy (PoolConfig.d_train_target): by
+                # default the shared D trains against the LEADER's SR —
+                # the README routes adversarial updates mostly to member 0
+                # once converged ("the main information generator",
+                # readme.md:7), so D specializes on exactly the
+                # distribution those gradients shape; followers read the
+                # same D. "round_robin" cycles the fake batch through the
+                # pool instead. Per-member gan/pixel_updates telemetry
+                # lands in the epoch JSONL via the pool snapshot.
+                if cfg.pool.d_train_target == "round_robin":
+                    d_fake_params = self.spool.member_params(
+                        n_batches % self.spool.n
+                    )
+                else:
+                    d_fake_params = self.spool.leader_params()
                 self.d_state, d_metrics = discriminator_step(
                     self.d_state,
                     self.g_model.apply,
-                    self.spool.leader_params(),
+                    d_fake_params,
                     hr,
                     lr_imgs,
                     d_lr,
@@ -309,10 +324,17 @@ class Trainer:
             # Its loss scalar joins the lagged drain: no per-batch sync.
             d_loss = None
             if self.d_state is not None:
+                # same d_train_target policy as the stacked path
+                if cfg.pool.d_train_target == "round_robin":
+                    d_member = self.pool.members[
+                        n_batches % len(self.pool.members)
+                    ].state
+                else:
+                    d_member = self.pool.leader.state
                 self.d_state, d_metrics = discriminator_step(
                     self.d_state,
-                    self.pool.leader.state.apply_fn,
-                    self.pool.leader.state.params,
+                    d_member.apply_fn,
+                    d_member.params,
                     hr,
                     lr_imgs,
                     d_lr,
@@ -504,6 +526,10 @@ class Trainer:
                     ),
                     **train_metrics,
                 }
+                if cfg.train.reduce_metrics:
+                    from srgan_tpu.parallel.mesh import reduce_metrics
+
+                    record = reduce_metrics(record)
                 self.logger.log(record)
                 last = record
                 print(

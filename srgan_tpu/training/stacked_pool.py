@@ -254,6 +254,9 @@ class StackedGeneratorPool:
     def leader_params(self):
         return jax.tree.map(lambda x: x[0], self.state.params)
 
+    def member_params(self, i: int):
+        return jax.tree.map(lambda x: x[i], self.state.params)
+
     def snapshot(self):
         return [
             {

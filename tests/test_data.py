@@ -94,6 +94,20 @@ class TestSampler:
             for b in range(a + 1, 4):
                 assert not set(shards[a]) & set(shards[b])
 
+    def test_shards_derive_from_one_global_permutation(self):
+        """DistributedSampler parity (``src/train.py:90-103``): every host
+        draws the SAME (seed, epoch) permutation and keeps its strided
+        slice — so interleaving the shard streams reconstructs the global
+        permutation exactly (multi-host consistency, VERDICT r1 #9)."""
+        idx = np.arange(57)  # non-divisible length
+        num_shards = 4
+        global_perm = EpochSampler(idx, seed=9).epoch_indices(2)
+        for r in range(num_shards):
+            shard = EpochSampler(
+                idx, num_shards=num_shards, shard_index=r, seed=9
+            ).epoch_indices(2)
+            assert np.array_equal(shard, global_perm[r::num_shards])
+
     def test_split_indices(self):
         tr, val = split_indices(10, 0.7, seed=1)
         assert len(tr) == 7 and len(val) == 3

@@ -114,8 +114,11 @@ class TestGeneratorStep:
         hr = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
         lr_imgs = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
         _, metrics = generator_pixel_step(state, hr, lr_imgs, jnp.asarray(1e-4))
-        assert set(metrics) == {"g_loss", "com_loss", "tv_loss", "g_d_loss"}
+        assert set(metrics) == {
+            "g_loss", "com_loss", "tv_loss", "g_d_loss", "p_loss",
+        }
         assert float(metrics["g_d_loss"]) == 0.0  # pixel phase, train.py:192
+        assert float(metrics["p_loss"]) == 0.0  # perceptual off by default
 
 
 class TestGanSteps:
