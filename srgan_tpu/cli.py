@@ -131,6 +131,9 @@ def _enable_compilation_cache():
 
 
 def main(argv=None):
+    from srgan_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     _enable_compilation_cache()
     parser = argparse.ArgumentParser("srgan_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)

@@ -49,6 +49,16 @@ def edge_importance_map(hr: jax.Array) -> jax.Array:
     return jnp.clip(edges, 0.0, 2.0)
 
 
+def pallas_loss_supported(shape) -> bool:
+    """Whether the Pallas reconstruction-loss kernel supports an NHWC batch
+    of this shape. The kernel lays each image plane out as (H, W) with W on
+    the 128-wide lane dimension and DMAs HBM row strips, so Mosaic requires
+    the width to be lane-tile aligned (W % 128 == 0); misaligned widths
+    (e.g. 96px test crops) must take the XLA path instead of failing in the
+    TPU compiler."""
+    return len(shape) == 4 and shape[2] % 128 == 0 and shape[2] > 0
+
+
 def reconstruction_loss(
     hr: jax.Array, sr: jax.Array, *, use_pallas: bool | None = None
 ) -> Tuple[jax.Array, jax.Array]:
@@ -60,10 +70,13 @@ def reconstruction_loss(
 
     ``use_pallas=None`` (default) selects the fused Pallas kernel on TPU
     (measured ~3.8x faster forward / ~3.2x faster backward than the XLA
-    graph at reference shapes) and the XLA graph elsewhere.
+    graph at reference shapes) when the shape is kernel-compatible, and the
+    XLA graph elsewhere.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = (
+            jax.default_backend() == "tpu" and pallas_loss_supported(hr.shape)
+        )
     if use_pallas:
         from srgan_tpu.ops.pallas.recon_loss_kernel import (
             reconstruction_loss_pallas,

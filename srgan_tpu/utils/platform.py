@@ -1,0 +1,31 @@
+"""Platform-selection helpers.
+
+The axon dev-tunnel boot hook (its ``sitecustomize``) registers the TPU
+backend in a way that overrides the standard ``JAX_PLATFORMS`` environment
+variable: a user running ``JAX_PLATFORMS=cpu python -m srgan_tpu.cli ...``
+would silently still execute (and remote-compile) on the TPU. Entry points
+call :func:`honor_jax_platforms_env` first so the documented env var keeps
+its standard JAX meaning.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def honor_jax_platforms_env() -> None:
+    """Re-apply ``JAX_PLATFORMS`` from the environment through jax.config.
+
+    No-op when the variable is unset/empty, already in effect, or when a
+    backend has initialized (jax raises then; we leave things as they are).
+    """
+    val = os.environ.get("JAX_PLATFORMS")
+    if not val:
+        return
+    try:
+        import jax
+
+        if (jax.config.jax_platforms or "") != val:
+            jax.config.update("jax_platforms", val)
+    except Exception:
+        pass

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 import srgan_tpu.ops.pallas.recon_loss_kernel as rk
-from srgan_tpu.ops.recon_loss import reconstruction_loss
+from srgan_tpu.ops.recon_loss import pallas_loss_supported, reconstruction_loss
 
 
 @pytest.fixture(autouse=True)
@@ -43,6 +43,15 @@ class TestPallasReconLoss:
         np.testing.assert_allclose(
             np.asarray(g_k), np.asarray(g_ref), rtol=1e-3, atol=1e-5
         )
+
+    def test_auto_select_requires_lane_alignment(self):
+        # Mosaic HBM row-strip DMAs need W % 128 == 0 (lane tiling); the
+        # default selection must route misaligned widths (e.g. 96px test
+        # crops, which crashed the remote TPU compiler) to the XLA path.
+        assert pallas_loss_supported((2, 512, 1024, 3))
+        assert pallas_loss_supported((1, 96, 128, 3))
+        assert not pallas_loss_supported((2, 96, 96, 3))
+        assert not pallas_loss_supported((2, 512, 1000, 3))
 
     def test_use_pallas_flag(self, rng):
         hr = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
