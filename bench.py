@@ -45,7 +45,12 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "10" if on_tpu else "2"))
     factor = 4
     # bfloat16 conv compute on TPU (MXU fast path); fp32 master params.
-    cfg = ModelConfig(compute_dtype="bfloat16" if on_tpu else "float32")
+    # BENCH_FEATURES=128 measures the TPU-efficient capacity point (the
+    # F=64 tower is output-width-bound on the MXU; see PARITY.md).
+    cfg = ModelConfig(
+        num_features=int(os.environ.get("BENCH_FEATURES", "64")),
+        compute_dtype="bfloat16" if on_tpu else "float32",
+    )
 
     model, params = init_generator(
         cfg, jax.random.key(0), sample_hw=(hr_h // factor, hr_w // factor)

@@ -78,7 +78,14 @@ def main():
     ap.add_argument("--gan", action="store_true")
     ap.add_argument("--pool", type=int, default=1)
     ap.add_argument("--features", type=int, default=64)
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint residual blocks (fits pool+GAN at "
+                         "larger batches)")
     ap.add_argument("--data-dir", default="/tmp/srbench_data")
+    ap.add_argument("--score", action="store_true",
+                    help="compute held-out PSNR/SSIM after each epoch "
+                         "(for quality curves, e.g. F=64 vs F=128)")
+    ap.add_argument("--val-images", type=int, default=48)
     ap.add_argument("--fused", dest="fused", action="store_true", default=None,
                     help="force the fused cached-epoch path")
     ap.add_argument("--no-fused", dest="fused", action="store_false")
@@ -109,6 +116,7 @@ def main():
     cfg = Config(
         model=ModelConfig(
             num_features=args.features,
+            remat=args.remat,
             compute_dtype="bfloat16" if on_tpu else "float32",
         ),
         discriminator=DiscriminatorConfig(
@@ -125,6 +133,14 @@ def main():
         cfg.data, args.data_dir, use_split=True,
         seed=cfg.train.seed, sharding=trainer.data_sharding,
     )
+    val_pipeline = None
+    if args.score:
+        val_dir = args.data_dir.rstrip("/") + "_val"
+        make_dataset(val_dir, args.val_images, h, w, seed=777)
+        val_pipeline = TrainPipeline(
+            cfg.data, val_dir, use_split=False,
+            seed=cfg.train.seed + 1, sharding=trainer.data_sharding,
+        )
     print(f"steps/epoch={pipeline.steps_per_epoch()} batch={args.batch} "
           f"gan={args.gan} pool={args.pool} F={args.features}")
 
@@ -136,8 +152,12 @@ def main():
         ips = m["n_batches"] * args.batch / dt
         rates.append(ips)
         tag = " (incl. cache build)" if epoch == 0 else ""
+        score = ""
+        if val_pipeline is not None:
+            psnr, ssim = trainer.compute_score(val_pipeline, epoch)
+            score = f"  psnr={psnr:.3f} ssim={ssim:.4f}"
         print(f"epoch {epoch}: {ips:.1f} img/s  wall {dt:.2f}s  "
-              f"g_loss={m['g_loss']:.4f}{tag}")
+              f"g_loss={m['g_loss']:.4f}{score}{tag}")
     steady = rates[1:] or rates
     print(f"steady-state epoch rate: {np.mean(steady):.1f} img/s "
           f"(epochs 1..{args.epochs - 1})")

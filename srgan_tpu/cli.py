@@ -27,6 +27,10 @@ def _add_train(sub):
     p.add_argument("--num-generators", type=int, default=1)
     p.add_argument("--gan", action="store_true",
                    help="enable adversarial training (BASELINE configs 2+)")
+    p.add_argument("--d-stages", type=int, default=4,
+                   help="discriminator conv/pool stages (4 = reference "
+                        "parity, needs >=428px inputs; fewer stages give a "
+                        "shallower patch critic for smaller images)")
     p.add_argument("--perceptual", type=float, default=0.0, metavar="WEIGHT",
                    help="VGG19 perceptual-loss weight, 0 = off (the "
                         "reference's disabled utils.py:154-166 path; "
@@ -156,6 +160,7 @@ def main(argv=None):
             initialize_multihost()
         cfg = Config(
             discriminator=DiscriminatorConfig(
+                num_stages=args.d_stages,
                 compute_dtype="bfloat16" if args.bf16 else "float32",
             ),
             model=ModelConfig(

@@ -13,6 +13,7 @@ from srgan_tpu.training.pool import (
 )
 from srgan_tpu.training.steps import (
     discriminator_step,
+    discriminator_step_on_sr,
     eval_step,
     generator_gan_step,
     generator_pixel_step,
@@ -32,6 +33,7 @@ __all__ = [
     "interpolate_params",
     "sort_lists_in_same_order",
     "discriminator_step",
+    "discriminator_step_on_sr",
     "eval_step",
     "generator_gan_step",
     "generator_pixel_step",

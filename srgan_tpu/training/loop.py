@@ -42,7 +42,7 @@ from srgan_tpu.parallel.mesh import (
 from srgan_tpu.training import checkpoint as ckpt
 from srgan_tpu.training.pool import GeneratorPool, PoolMember
 from srgan_tpu.training.steps import (
-    discriminator_step,
+    discriminator_step_on_sr,
     eval_step,
     generator_gan_step,
     generator_pixel_step,
@@ -226,36 +226,25 @@ class Trainer:
                 sums["d_loss"] += float(d_loss)
 
         for hr, lr_imgs in pipeline.epoch(epoch, epoch_key):
-            d_loss = None
-            if use_gan:
-                # Discriminator policy (PoolConfig.d_train_target): by
-                # default the shared D trains against the LEADER's SR —
-                # the README routes adversarial updates mostly to member 0
-                # once converged ("the main information generator",
-                # readme.md:7), so D specializes on exactly the
-                # distribution those gradients shape; followers read the
-                # same D. "round_robin" cycles the fake batch through the
-                # pool instead. Per-member gan/pixel_updates telemetry
-                # lands in the epoch JSONL via the pool snapshot.
-                if cfg.pool.d_train_target == "round_robin":
-                    d_fake_params = self.spool.member_params(
-                        n_batches % self.spool.n
-                    )
-                else:
-                    d_fake_params = self.spool.leader_params()
-                self.d_state, d_metrics = discriminator_step(
-                    self.d_state,
-                    self.g_model.apply,
-                    d_fake_params,
-                    hr,
-                    lr_imgs,
-                    d_lr,
-                )
-                # d_loss stays on device until the lagged drain — a
-                # per-batch float() here would stall the pipeline on
-                # exactly the pool+GAN configuration (VERDICT r1 weak #1).
-                d_loss = d_metrics["d_loss"]
-
+            # Discriminator policy (PoolConfig.d_train_target): by default
+            # the shared D trains against the LEADER's SR — the README
+            # routes adversarial updates mostly to member 0 once converged
+            # ("the main information generator", readme.md:7), so D
+            # specializes on exactly the distribution those gradients
+            # shape; followers read the same D. "round_robin" cycles the
+            # fake batch through the pool instead. Per-member
+            # gan/pixel_updates telemetry lands in the epoch JSONL via the
+            # pool snapshot. The generator step runs FIRST and hands its
+            # already-computed SR (pre-update params — identical to what a
+            # D-side recomputation would produce) to the D update, saving
+            # one full generator forward per batch; G's adversarial term
+            # therefore reads the previous batch's D (documented deviation
+            # from the reference's commented D-first alternation,
+            # src/train.py:155-157).
+            if use_gan and cfg.pool.d_train_target == "round_robin":
+                d_idx = n_batches % self.spool.n
+            else:
+                d_idx = 0
             gan_mask = jnp.asarray(self.spool.sample_gan_mask(use_gan))
             self.spool.state, metrics = stacked_pool_step(
                 self.spool.state,
@@ -269,7 +258,19 @@ class Trainer:
                 self.vgg_apply,
                 self.vgg_params,
                 cfg.train.perceptual_weight,
+                d_target_idx=np.int32(d_idx),
+                return_sr=use_gan,
             )
+            d_loss = None
+            if use_gan:
+                sr_for_d = metrics.pop("sr")
+                self.d_state, d_metrics = discriminator_step_on_sr(
+                    self.d_state, hr, sr_for_d, d_lr
+                )
+                # d_loss stays on device until the lagged drain — a
+                # per-batch float() here would stall the pipeline on
+                # exactly the pool+GAN configuration (VERDICT r1 weak #1).
+                d_loss = d_metrics["d_loss"]
             if pending is not None:
                 drain(pending)
             pending = (metrics, d_loss)
@@ -319,35 +320,28 @@ class Trainer:
                 sums["d_loss"] += float(d_loss)
 
         for hr, lr_imgs in pipeline.epoch(epoch, epoch_key):
-            # Discriminator step (shared across the pool), when GAN is on —
-            # the reference's (commented) per-batch D update, train.py:155.
-            # Its loss scalar joins the lagged drain: no per-batch sync.
-            d_loss = None
+            # d_train_target policy (see _train_epoch_stacked): the member
+            # whose SR feeds the discriminator update this batch.
             if self.d_state is not None:
-                # same d_train_target policy as the stacked path
                 if cfg.pool.d_train_target == "round_robin":
-                    d_member = self.pool.members[
-                        n_batches % len(self.pool.members)
-                    ].state
+                    d_idx = n_batches % len(self.pool.members)
                 else:
-                    d_member = self.pool.leader.state
-                self.d_state, d_metrics = discriminator_step(
-                    self.d_state,
-                    d_member.apply_fn,
-                    d_member.params,
-                    hr,
-                    lr_imgs,
-                    d_lr,
-                )
-                d_loss = d_metrics["d_loss"]
+                    d_idx = 0  # leader (pool is kept loss-sorted)
+            else:
+                d_idx = None
 
             # Each pool member updates on this batch, in loss-sorted order
-            # (readme.md:4: "每个batch按顺序训练").
+            # (readme.md:4: "每个batch按顺序训练"). The d-target member's
+            # step keeps its SR so the D update below skips a second
+            # generator forward (G reads the previous batch's D — same
+            # documented deviation as the stacked path).
             batch_items = []
+            sr_for_d = None
             for i, member in enumerate(self.pool.members):
                 use_gan = (
                     self.d_state is not None and self.pool.choose_gan(i)
                 )
+                want_sr = i == d_idx
                 if use_gan:
                     member.state, metrics = generator_gan_step(
                         member.state,
@@ -359,6 +353,7 @@ class Trainer:
                         self.vgg_apply,
                         self.vgg_params,
                         cfg.train.perceptual_weight,
+                        return_sr=want_sr,
                     )
                 else:
                     member.state, metrics = generator_pixel_step(
@@ -366,8 +361,21 @@ class Trainer:
                         self.vgg_apply,
                         self.vgg_params,
                         cfg.train.perceptual_weight,
+                        return_sr=want_sr,
                     )
+                if want_sr:
+                    sr_for_d = metrics.pop("sr")
                 batch_items.append((i, metrics, use_gan))
+
+            # Discriminator step (shared across the pool), when GAN is on —
+            # the reference's (commented) per-batch D update, train.py:155.
+            # Its loss scalar joins the lagged drain: no per-batch sync.
+            d_loss = None
+            if self.d_state is not None:
+                self.d_state, d_metrics = discriminator_step_on_sr(
+                    self.d_state, hr, sr_for_d, d_lr
+                )
+                d_loss = d_metrics["d_loss"]
             drain(pending)
             pending = (batch_items, d_loss)
             n_batches += 1

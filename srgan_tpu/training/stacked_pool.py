@@ -96,7 +96,7 @@ def _stacked_loss_fn(stacked_params, apply_fn, d_apply_fn, d_params,
         if f_real is not None:
             p = perceptual_term(sr, f_real, vgg_apply_fn, vgg_params)
         loss = com + tv + mask * g_d + p_weight * p
-        return loss, (com, tv, g_d, p)
+        return loss, (com, tv, g_d, p, jax.lax.stop_gradient(sr))
 
     losses, aux = jax.vmap(one)(stacked_params, gan_mask)
     # sum (not mean): keeps each member's gradient identical to its solo
@@ -107,7 +107,7 @@ def _stacked_loss_fn(stacked_params, apply_fn, d_apply_fn, d_params,
 @functools.partial(
     jax.jit,
     donate_argnums=(0,),
-    static_argnames=("apply_fn", "d_apply_fn", "vgg_apply_fn"),
+    static_argnames=("apply_fn", "d_apply_fn", "vgg_apply_fn", "return_sr"),
 )
 def stacked_pool_step(
     stacked_state: TrainState,
@@ -121,6 +121,8 @@ def stacked_pool_step(
     vgg_apply_fn=None,
     vgg_params: Any = None,
     p_weight: float = 0.0,
+    d_target_idx: jax.Array | int = 0,
+    return_sr: bool = False,
 ) -> Tuple[TrainState, dict]:
     """One fused update of ALL pool members on one batch.
 
@@ -128,9 +130,14 @@ def stacked_pool_step(
     term this batch (host-sampled Bernoulli per the Starting_GAN_loss gate).
     ``vgg_apply_fn``/``vgg_params``/``p_weight``: optional frozen VGG
     perceptual term, added to every member's objective when set.
+    ``return_sr=True`` adds ``metrics["sr"]`` — member ``d_target_idx``'s
+    SR output (stop-gradient, pre-update params), already computed inside
+    the step — so the discriminator update can consume it without paying a
+    second generator forward (``training/loop.py`` feeds it to
+    :func:`srgan_tpu.training.steps.discriminator_step_on_sr`).
     """
     grad_fn = jax.grad(_stacked_loss_fn, has_aux=True)
-    grads, (com, tv, g_d, p) = grad_fn(
+    grads, (com, tv, g_d, p, srs) = grad_fn(
         stacked_state.params, apply_fn, d_apply_fn, d_params,
         hr, lr_imgs, gan_mask, vgg_apply_fn, vgg_params, p_weight,
     )
@@ -147,6 +154,8 @@ def stacked_pool_step(
     new_state = stacked_state.replace(params=new_params, opt_state=new_opt)
     metrics = {"com_loss": com, "tv_loss": tv, "g_d_loss": g_d, "p_loss": p,
                "g_loss": com + tv + gan_mask * g_d + p_weight * p}
+    if return_sr:
+        metrics["sr"] = jnp.take(srs, d_target_idx, axis=0)
     return new_state, metrics
 
 

@@ -59,11 +59,13 @@ def generator_pixel_loss_fn(
         f_real = jax.lax.stop_gradient(vgg_apply_fn({"params": vgg_params}, hr))
         p_loss = perceptual_term(sr, f_real, vgg_apply_fn, vgg_params)
         g_loss = g_loss + p_weight * p_loss
-    return g_loss, {"com_loss": com_loss, "tv_loss": tv_loss, "p_loss": p_loss}
+    return g_loss, {"com_loss": com_loss, "tv_loss": tv_loss,
+                    "p_loss": p_loss, "sr": jax.lax.stop_gradient(sr)}
 
 
 @functools.partial(
-    jax.jit, donate_argnums=(0,), static_argnames=("vgg_apply_fn",)
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("vgg_apply_fn", "return_sr"),
 )
 def generator_pixel_step(
     g_state: TrainState,
@@ -73,15 +75,21 @@ def generator_pixel_step(
     vgg_apply_fn=None,
     vgg_params: Any = None,
     p_weight: float = 0.0,
+    return_sr: bool = False,
 ) -> Tuple[TrainState, dict]:
     """One pixel-loss generator update (``train_generator``,
     ``src/train.py:175-203``, with the adversarial term at its shipped
     default of 0). With ``vgg_apply_fn`` set, adds the weighted perceptual
-    term (one fused executable either way — the branch is trace-time)."""
+    term (one fused executable either way — the branch is trace-time).
+    ``return_sr=True`` keeps ``metrics["sr"]`` (the pre-update SR, already
+    computed) so a following discriminator update can skip its own
+    generator forward."""
     (g_loss, aux), grads = jax.value_and_grad(
         generator_pixel_loss_fn, has_aux=True
     )(g_state.params, g_state.apply_fn, hr, lr_imgs,
       vgg_apply_fn, vgg_params, p_weight)
+    if not return_sr:
+        aux = {k: v for k, v in aux.items() if k != "sr"}
     new_state = g_state.apply_gradients(grads, lr)
     metrics = {"g_loss": g_loss, "g_d_loss": jnp.zeros(()), **aux}
     return new_state, metrics
@@ -111,13 +119,14 @@ def generator_gan_loss_fn(
         "tv_loss": tv_loss,
         "g_d_loss": g_d_loss,
         "p_loss": p_loss,
+        "sr": jax.lax.stop_gradient(sr),
     }
 
 
 @functools.partial(
     jax.jit,
     donate_argnums=(0,),
-    static_argnames=("d_apply_fn", "vgg_apply_fn"),
+    static_argnames=("d_apply_fn", "vgg_apply_fn", "return_sr"),
 )
 def generator_gan_step(
     g_state: TrainState,
@@ -129,11 +138,14 @@ def generator_gan_step(
     vgg_apply_fn=None,
     vgg_params: Any = None,
     p_weight: float = 0.0,
+    return_sr: bool = False,
 ) -> Tuple[TrainState, dict]:
     (g_loss, aux), grads = jax.value_and_grad(generator_gan_loss_fn, has_aux=True)(
         g_state.params, g_state.apply_fn, d_apply_fn, d_params, hr, lr_imgs,
         vgg_apply_fn, vgg_params, p_weight,
     )
+    if not return_sr:
+        aux = {k: v for k, v in aux.items() if k != "sr"}
     new_state = g_state.apply_gradients(grads, lr)
     metrics = {"g_loss": g_loss, **aux}
     return new_state, metrics
@@ -180,6 +192,37 @@ def discriminator_step(
 ) -> Tuple[TrainState, dict]:
     d_loss, grads = jax.value_and_grad(discriminator_loss_fn)(
         d_state.params, d_state.apply_fn, g_apply_fn, g_params, hr, lr_imgs
+    )
+    new_state = d_state.apply_gradients(grads, lr)
+    return new_state, {"d_loss": d_loss}
+
+
+def _d_loss_on_sr(d_params, d_apply_fn, hr, sr):
+    real_preds = d_apply_fn({"params": d_params}, hr)
+    fake_preds = d_apply_fn({"params": d_params}, sr)
+    return discriminator_loss(real_preds, fake_preds)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def discriminator_step_on_sr(
+    d_state: TrainState,
+    hr: jax.Array,
+    sr: jax.Array,
+    lr: jax.Array,
+) -> Tuple[TrainState, dict]:
+    """Discriminator update on a precomputed SR batch.
+
+    Identical objective to :func:`discriminator_step`, but the fake batch is
+    the SR the generator step already produced this batch (the generator
+    step runs with pre-update params, exactly what the recomputation in
+    :func:`discriminator_step` would yield) — saving one full generator
+    forward per batch. The train loop runs the G step first and feeds its
+    ``metrics["sr"]`` here; G's adversarial term then reads the previous
+    batch's D — a one-batch lag the (commented) reference alternation
+    doesn't have, documented as a perf-motivated deviation
+    (``src/train.py:155-157``)."""
+    d_loss, grads = jax.value_and_grad(_d_loss_on_sr)(
+        d_state.params, d_state.apply_fn, hr, sr
     )
     new_state = d_state.apply_gradients(grads, lr)
     return new_state, {"d_loss": d_loss}

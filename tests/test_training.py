@@ -163,6 +163,63 @@ class TestGanSteps:
         # minimizing mean(tanh(fake - real)) drives the loss down
         assert losses[-1] < losses[0]
 
+    def test_discriminator_step_on_sr_matches_recompute(self, rng):
+        # The loop feeds the D update the SR the generator step already
+        # produced (pre-update params) — that must be bit-equal to the
+        # SR-recompute inside discriminator_step.
+        from srgan_tpu.training.steps import (
+            discriminator_step,
+            discriminator_step_on_sr,
+            generator_pixel_step,
+        )
+
+        g_model, g_params = _tiny_gen()
+        d_model, d_params = self._tiny_disc()
+        hr = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+        lr_imgs = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+        d_lr = jnp.asarray(1e-3)
+
+        # donate_argnums on the steps consumes the state buffers: give each
+        # path its own copy of the initial D params.
+        copy = lambda t: jax.tree.map(lambda x: jnp.array(x), t)  # noqa: E731
+        d_state_a = TrainState.create(
+            apply_fn=d_model.apply, params=copy(d_params)
+        )
+        d_state_a, m_a = discriminator_step(
+            d_state_a, g_model.apply, g_params, hr, lr_imgs, d_lr
+        )
+
+        g_state = TrainState.create(apply_fn=g_model.apply, params=g_params)
+        _, g_metrics = generator_pixel_step(
+            g_state, hr, lr_imgs, jnp.asarray(1e-4), return_sr=True
+        )
+        d_state_b = TrainState.create(
+            apply_fn=d_model.apply, params=copy(d_params)
+        )
+        d_state_b, m_b = discriminator_step_on_sr(
+            d_state_b, hr, g_metrics["sr"], d_lr
+        )
+        assert float(m_a["d_loss"]) == pytest.approx(
+            float(m_b["d_loss"]), rel=1e-6
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6
+            ),
+            d_state_a.params,
+            d_state_b.params,
+        )
+
+    def test_generator_steps_hide_sr_by_default(self, rng):
+        from srgan_tpu.training.steps import generator_pixel_step
+
+        model, params = _tiny_gen()
+        g_state = TrainState.create(apply_fn=model.apply, params=params)
+        hr = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+        lr_imgs = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+        _, metrics = generator_pixel_step(g_state, hr, lr_imgs, jnp.asarray(1e-4))
+        assert "sr" not in metrics
+
 
 class TestEvalStep:
     def test_psnr_reasonable(self, rng):
