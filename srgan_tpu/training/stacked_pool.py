@@ -32,7 +32,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from srgan_tpu.config import PoolConfig
-from srgan_tpu.ops.gan_loss import generator_adversarial_loss
+from srgan_tpu.ops.gan_loss import (
+    discriminator_loss,
+    generator_adversarial_loss,
+)
 from srgan_tpu.ops.recon_loss import (
     edge_importance_map,
     reconstruction_loss_with_edges,
@@ -157,6 +160,70 @@ def stacked_pool_step(
     if return_sr:
         metrics["sr"] = jnp.take(srs, d_target_idx, axis=0)
     return new_state, metrics
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0, 1),
+    static_argnames=("apply_fn", "d_apply_fn", "vgg_apply_fn"),
+)
+def stacked_pool_gan_step(
+    stacked_state: TrainState,
+    d_state: TrainState,
+    apply_fn,
+    d_apply_fn,
+    hr: jax.Array,
+    lr_imgs: jax.Array,
+    gan_mask: jax.Array,
+    g_lr: jax.Array,
+    d_lr: jax.Array,
+    vgg_apply_fn=None,
+    vgg_params: Any = None,
+    p_weight: float = 0.0,
+    d_target_idx: jax.Array | int = 0,
+) -> Tuple[TrainState, TrainState, dict]:
+    """Pool update + discriminator update fused into ONE executable.
+
+    The GAN-phase batch work — N generator forwards/backwards, the shared
+    edge map, the adversarial terms, and the discriminator's own update on
+    the ``d_target_idx`` member's SR — compiles to a single XLA program:
+    one dispatch per batch, no SR round-trip through an output buffer, and
+    the scheduler is free to overlap D's backward with the tail of the pool
+    backward. Semantics are "simultaneous" GAN updates: the generators read
+    ``d_state`` pre-update, and D trains against the generators' pre-update
+    SR — the same pairing the two-dispatch path
+    (:func:`stacked_pool_step` + ``discriminator_step_on_sr``) produces.
+    """
+    grad_fn = jax.grad(_stacked_loss_fn, has_aux=True)
+    grads, (com, tv, g_d, p, srs) = grad_fn(
+        stacked_state.params, apply_fn, d_apply_fn, d_state.params,
+        hr, lr_imgs, gan_mask, vgg_apply_fn, vgg_params, p_weight,
+    )
+
+    def member_update(g, o, pp):
+        updates, new_o = stacked_state.tx.update(g, o, pp)
+        new_p = jax.tree.map(lambda q, u: q - g_lr * u, pp, updates)
+        return new_p, new_o
+
+    new_params, new_opt = jax.vmap(member_update)(
+        grads, stacked_state.opt_state, stacked_state.params
+    )
+    new_g_state = stacked_state.replace(params=new_params, opt_state=new_opt)
+
+    sr_d = jnp.take(srs, d_target_idx, axis=0)
+
+    def d_loss_fn(d_params):
+        real_preds = d_apply_fn({"params": d_params}, hr)
+        fake_preds = d_apply_fn({"params": d_params}, sr_d)
+        return discriminator_loss(real_preds, fake_preds)
+
+    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_state.params)
+    new_d_state = d_state.apply_gradients(d_grads, d_lr)
+
+    metrics = {"com_loss": com, "tv_loss": tv, "g_d_loss": g_d, "p_loss": p,
+               "g_loss": com + tv + gan_mask * g_d + p_weight * p,
+               "d_loss": d_loss}
+    return new_g_state, new_d_state, metrics
 
 
 @jax.jit

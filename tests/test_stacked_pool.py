@@ -80,6 +80,73 @@ class TestStackedStep:
         after = np.asarray(jax.tree.leaves(new_stacked.params)[0])
         assert np.abs(after - before).max() > 0.0
 
+    def test_fused_gan_step_matches_two_dispatch(self, rng):
+        """stacked_pool_gan_step (one executable) == stacked_pool_step
+        with return_sr + discriminator_step_on_sr (two dispatches): same
+        generator params, same D params, same losses."""
+        from srgan_tpu.config import DiscriminatorConfig
+        from srgan_tpu.models.discriminator import init_discriminator
+        from srgan_tpu.training.stacked_pool import stacked_pool_gan_step
+        from srgan_tpu.training.steps import discriminator_step_on_sr
+
+        model, states = _states(2)
+        d_model, d_params = init_discriminator(
+            DiscriminatorConfig(num_filters=8, num_stages=2),
+            jax.random.key(9), sample_hw=(64, 64),
+        )
+        copy = lambda t: jax.tree.map(jnp.array, t)  # noqa: E731
+        hr = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+        lr_imgs = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+        gan_mask = jnp.asarray([1.0, 0.0])
+        g_lr, d_lr = jnp.asarray(1e-3), jnp.asarray(1e-3)
+
+        # two-dispatch path
+        stacked_a = stack_states(
+            [s.replace(params=copy(s.params)) for s in states]
+        )
+        d_state_a = TrainState.create(
+            apply_fn=d_model.apply, params=copy(d_params)
+        )
+        new_a, m_a = stacked_pool_step(
+            stacked_a, model.apply, d_model.apply, d_state_a.params,
+            hr, lr_imgs, gan_mask, g_lr,
+            d_target_idx=np.int32(0), return_sr=True,
+        )
+        d_state_a, dm_a = discriminator_step_on_sr(
+            d_state_a, hr, m_a.pop("sr"), d_lr
+        )
+
+        # fused path
+        stacked_b = stack_states(
+            [s.replace(params=copy(s.params)) for s in states]
+        )
+        d_state_b = TrainState.create(
+            apply_fn=d_model.apply, params=copy(d_params)
+        )
+        new_b, d_state_b, m_b = stacked_pool_gan_step(
+            stacked_b, d_state_b, model.apply, d_model.apply,
+            hr, lr_imgs, gan_mask, g_lr, d_lr, d_target_idx=np.int32(0),
+        )
+
+        assert float(m_b["d_loss"]) == pytest.approx(
+            float(dm_a["d_loss"]), rel=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_b["g_loss"]), np.asarray(m_a["g_loss"]), rtol=1e-5
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            ),
+            new_a.params, new_b.params,
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            ),
+            d_state_a.params, d_state_b.params,
+        )
+
     def test_roundtrip_stack_unstack(self):
         model, states = _states(2)
         stacked = stack_states(states)
