@@ -99,6 +99,14 @@ def _add_upscale(sub):
     p.add_argument("--results-dir", default="results")
     p.add_argument("--prefix", default="Training")
     p.add_argument("--enhance", action="store_true")
+    p.add_argument("--tile", type=int, default=0,
+                   help="tile size (LR px) for tiled inference: one compiled "
+                        "executable for ANY image size, HBM bounded by "
+                        "--tile-batch tiles. 0 = direct whole-image path")
+    p.add_argument("--tile-overlap", type=int, default=16,
+                   help="feather-blended tile margin (LR px)")
+    p.add_argument("--tile-batch", type=int, default=16,
+                   help="tiles per device batch in tiled mode")
 
 
 def _add_upscale_dir(sub):
@@ -239,7 +247,18 @@ def main(argv=None):
             print("warning: no checkpoint found, using random weights",
                   file=sys.stderr)
             up = Upscaler.random_init(enhance_output=args.enhance)
-        up.upscale_file(args.input, args.output)
+        if args.tile:
+            from srgan_tpu.utils.image_io import load_image, save_image
+
+            sr = up.upscale_tiled(
+                load_image(args.input),
+                tile=args.tile,
+                overlap=args.tile_overlap,
+                batch_size=args.tile_batch,
+            )
+            save_image(sr, args.output)
+        else:
+            up.upscale_file(args.input, args.output)
         print(f"saved {args.output}")
     elif args.cmd == "upscale-dir":
         from srgan_tpu.eval.inference import upscale_directory

@@ -164,6 +164,45 @@ class TestUpscaler:
         out = up.upscale(img)
         assert out.shape == (16, 16, 3)
 
+    def test_tiled_matches_direct_when_single_tile(self, rng):
+        """tile >= image → one tile with unit weight everywhere: tiled and
+        direct paths must agree exactly (same executable, no blending)."""
+        up = Upscaler.random_init(
+            ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        )
+        img = rng.random((16, 16, 3)).astype(np.float32)
+        direct = up.upscale(img)
+        tiled = up.upscale_tiled(img, tile=16, overlap=4)
+        np.testing.assert_allclose(tiled, direct, atol=1e-6)
+
+    def test_tiled_exact_when_overlap_covers_receptive_field(self, rng):
+        """With overlap >= 2x the conv receptive field, the trimmed window
+        zeroes out every edge-contaminated pixel, so multi-tile
+        reconstruction equals the whole-image result to float tolerance
+        (convs have finite support — this is exactness, not approximation).
+        Needs norm="none": GroupNorm's spatially-global statistics break
+        per-tile/whole-image equality (see upscale_tiled docstring).
+        Receptive field of the test model (conv9x9 in, 1 residual block,
+        mid conv3x3, folded subpixel head) is ~9 LR px."""
+        up = Upscaler.random_init(
+            ModelConfig(num_features=8, num_residuals=1, upscale_factor=2,
+                        norm="none")
+        )
+        img = rng.random((48, 64, 3)).astype(np.float32)
+        direct = up.upscale(img)
+        tiled = up.upscale_tiled(img, tile=32, overlap=20, batch_size=4)
+        assert tiled.shape == direct.shape
+        np.testing.assert_allclose(tiled, direct, atol=1e-4)
+
+    def test_tiled_tiny_image_pads(self, rng):
+        up = Upscaler.random_init(
+            ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        )
+        img = rng.random((10, 7, 3)).astype(np.float32)
+        out = up.upscale_tiled(img, tile=16, overlap=4)
+        assert out.shape == (20, 14, 3)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
     def test_upscale_file_roundtrip(self, tmp_path, rng):
         up = Upscaler.random_init(
             ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
