@@ -107,6 +107,9 @@ def _add_upscale(sub):
                    help="feather-blended tile margin (LR px)")
     p.add_argument("--tile-batch", type=int, default=16,
                    help="tiles per device batch in tiled mode")
+    p.add_argument("--dp", action="store_true",
+                   help="shard inference batches over every visible device "
+                        "(data-parallel serving mesh)")
 
 
 def _add_upscale_dir(sub):
@@ -122,6 +125,9 @@ def _add_upscale_dir(sub):
     p.add_argument("--batch-size", type=int, default=8,
                    help="images per device batch (same-size images batch "
                         "together; sizes are bucketed automatically)")
+    p.add_argument("--dp", action="store_true",
+                   help="shard inference batches over every visible device "
+                        "(data-parallel serving mesh)")
 
 
 def _enable_compilation_cache():
@@ -239,14 +245,20 @@ def main(argv=None):
         from srgan_tpu.eval.inference import Upscaler
 
         ckpt_dir = os.path.join(args.results_dir, f"{args.prefix}_ckpt")
+        mesh = None
+        if args.dp:
+            from srgan_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
         if os.path.isdir(ckpt_dir):
             up = Upscaler.from_checkpoint(
-                args.results_dir, args.prefix, enhance_output=args.enhance
+                args.results_dir, args.prefix, enhance_output=args.enhance,
+                mesh=mesh,
             )
         else:
             print("warning: no checkpoint found, using random weights",
                   file=sys.stderr)
-            up = Upscaler.random_init(enhance_output=args.enhance)
+            up = Upscaler.random_init(enhance_output=args.enhance, mesh=mesh)
         if args.tile:
             from srgan_tpu.utils.image_io import load_image, save_image
 
@@ -263,6 +275,11 @@ def main(argv=None):
     elif args.cmd == "upscale-dir":
         from srgan_tpu.eval.inference import upscale_directory
 
+        mesh = None
+        if args.dp:
+            from srgan_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
         n = upscale_directory(
             args.input_dir,
             args.output_dir,
@@ -270,6 +287,7 @@ def main(argv=None):
             prefix=args.prefix,
             enhance_output=args.enhance,
             batch_size=args.batch_size,
+            mesh=mesh,
         )
         print(f"upscaled {n} images into {args.output_dir}")
 

@@ -22,12 +22,29 @@ from srgan_tpu.utils.image_io import load_image, save_image
 
 
 class Upscaler:
-    """Holds a generator (params + apply) and runs jit'd SR inference."""
+    """Holds a generator (params + apply) and runs jit'd SR inference.
 
-    def __init__(self, model: SRResNet, params, *, enhance_output: bool = False):
+    Pass ``mesh`` (a 1-D ``jax.sharding.Mesh``) to serve data-parallel:
+    batches are sharded over the mesh's data axis, params replicated once,
+    and XLA partitions the forward across chips — the serving-side analogue
+    of the training mesh (srgan_tpu.parallel.mesh). Combined with
+    :meth:`upscale_tiled` this scales one giant image across a pod slice:
+    every chip SRs its share of the fixed-shape tile batch.
+    """
+
+    def __init__(
+        self,
+        model: SRResNet,
+        params,
+        *,
+        enhance_output: bool = False,
+        mesh=None,
+    ):
         self.model = model
         self.params = params
         self.enhance_output = enhance_output
+        self.mesh = mesh
+        self._replicated_params = None
 
     @classmethod
     def random_init(cls, cfg: Optional[ModelConfig] = None, seed: int = 0, **kw):
@@ -77,11 +94,36 @@ class Upscaler:
         if arr.max() > 1.5:  # uint8-range input
             arr = arr / 255.0
         batched = arr[None] if arr.ndim == 3 else arr
-        sr = infer_step(self.model.apply, self.params, jnp.asarray(batched))
+        if self.mesh is not None:
+            sr = self._upscale_sharded(batched)
+        else:
+            sr = infer_step(
+                self.model.apply, self.params, jnp.asarray(batched)
+            )
         if self.enhance_output:
             sr = enhance(sr)
         out = np.clip(np.asarray(sr), 0.0, 1.0)
         return out[0] if arr.ndim == 3 else out
+
+    def _upscale_sharded(self, batched: np.ndarray) -> jnp.ndarray:
+        """Data-parallel forward over ``self.mesh``: batch dim sharded,
+        params replicated (cached after the first call). The batch is
+        padded to a multiple of the mesh size so every chip gets an equal
+        static-shape shard; padding rows are dropped on return."""
+        from srgan_tpu.parallel.mesh import replicate, shard_batch
+
+        if self._replicated_params is None:
+            self._replicated_params = replicate(self.mesh, self.params)
+        n = batched.shape[0]
+        n_dev = int(np.prod(list(self.mesh.shape.values())))
+        pad = (-n) % n_dev
+        if pad:
+            batched = np.concatenate(
+                [batched, np.repeat(batched[:1], pad, axis=0)]
+            )
+        x = shard_batch(self.mesh, jnp.asarray(batched))
+        sr = infer_step(self.model.apply, self._replicated_params, x)
+        return sr[:n]
 
     def upscale_file(self, in_path: str, out_path: str) -> None:
         save_image(self.upscale(load_image(in_path)), out_path)
@@ -210,6 +252,7 @@ def upscale_directory(
     enhance_output: bool = False,
     batch_size: int = 8,
     upscaler: Optional[Upscaler] = None,
+    mesh=None,
 ) -> int:
     """Batch-serving path: super-resolve every image in a folder.
 
@@ -227,10 +270,10 @@ def upscale_directory(
         ckpt_dir = os.path.join(results_dir, f"{prefix}_ckpt")
         upscaler = (
             Upscaler.from_checkpoint(
-                results_dir, prefix, enhance_output=enhance_output
+                results_dir, prefix, enhance_output=enhance_output, mesh=mesh
             )
             if os.path.isdir(ckpt_dir)
-            else Upscaler.random_init(enhance_output=enhance_output)
+            else Upscaler.random_init(enhance_output=enhance_output, mesh=mesh)
         )
     os.makedirs(output_dir, exist_ok=True)
 
