@@ -258,12 +258,16 @@ def upscale_directory(
 
     Same-shape images are bucketed and processed in device batches (each
     distinct input size compiles one executable — images from one camera or
-    dataset usually share a size, so typically one compile total). Returns
-    the number of images written.
+    dataset usually share a size, so typically one compile total). Outputs
+    are written by the native C++ threaded encoder when built (the serving
+    counterpart of the threaded decoder — single-threaded PIL PNG encode
+    caps the pipeline well below TPU SR rates), falling back to PIL.
+    Returns the number of images written.
     """
     import collections
     import os
 
+    from srgan_tpu import native
     from srgan_tpu.data.dataset import list_image_files
 
     if upscaler is None:
@@ -282,13 +286,25 @@ def upscale_directory(
         img = load_image(os.path.join(input_dir, fname))
         buckets[img.shape].append((fname, img))
 
+    native_enc = native.encoder_available()
     written = 0
     for shape, items in buckets.items():
         for i in range(0, len(items), batch_size):
             chunk = items[i : i + batch_size]
             batch = np.stack([img for _, img in chunk])
             sr = upscaler.upscale(batch)
-            for (fname, _), out in zip(chunk, sr):
-                save_image(out, os.path.join(output_dir, fname))
-                written += 1
+            out_paths = [
+                os.path.join(output_dir, fname) for fname, _ in chunk
+            ]
+            if native_enc:
+                ok = native.save_batch(out_paths, np.asarray(sr))
+                written += int(ok.sum())
+                # native encode failures (e.g. exotic extension) fall back
+                for j in np.nonzero(~ok)[0]:
+                    save_image(sr[j], out_paths[j])
+                    written += 1
+            else:
+                for out, path in zip(sr, out_paths):
+                    save_image(out, path)
+                    written += 1
     return written

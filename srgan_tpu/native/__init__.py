@@ -52,6 +52,20 @@ def _load():
     ]
     lib.srgan_load_batch_u8.restype = ctypes.c_int
     lib.srgan_loader_version.restype = ctypes.c_int
+    try:
+        lib.srgan_save_image.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.srgan_save_image.restype = ctypes.c_int
+        lib.srgan_save_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
+        lib.srgan_save_batch.restype = ctypes.c_int
+    except AttributeError:
+        pass  # pre-v3 .so on disk; save_batch() checks the version
     _lib = lib
     return lib
 
@@ -82,6 +96,56 @@ def available() -> bool:
         _BUILD_TRIED = True
         build()
     return _load() is not None
+
+
+def encoder_available() -> bool:
+    """True when the library exposes the v3 encoder API; rebuilds once if a
+    stale pre-encoder ``.so`` is on disk."""
+    if not available():
+        return False
+    lib = _load()
+    if lib.srgan_loader_version() >= 3:
+        return True
+    if build():
+        lib = _load()
+        return lib is not None and lib.srgan_loader_version() >= 3
+    return False
+
+
+def save_image(path: str, img: np.ndarray) -> bool:
+    """Encode one HWC float32 [0,1] image (PNG, or JPEG for .jpg/.jpeg).
+    uint8 conversion matches ``utils.image_io.array_to_image``."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader not built (run native.build())")
+    img = np.ascontiguousarray(img, dtype=np.float32)
+    h, w, _ = img.shape
+    rc = lib.srgan_save_image(
+        path.encode(), h, w,
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return rc == 0
+
+
+def save_batch(
+    paths: List[str], imgs: np.ndarray, num_threads: int = 4
+) -> np.ndarray:
+    """Encode a batch (n, h, w, 3) float32 on C++ threads (GIL released for
+    the whole batch). Returns an ok mask."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader not built (run native.build())")
+    imgs = np.ascontiguousarray(imgs, dtype=np.float32)
+    n, h, w, _ = imgs.shape
+    status = np.empty(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.srgan_save_batch(
+        arr, n, h, w,
+        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    return status == 0
 
 
 def load_image(path: str, out_h: int, out_w: int) -> Optional[np.ndarray]:

@@ -239,6 +239,93 @@ void resize_bicubic(const Image& img, int out_h, int out_w, float* out) {
   }
 }
 
+// ---------------------------------------------------------------- encode --
+
+// The serving counterpart of the threaded decoder: ``upscale-dir`` writes
+// hundreds of SR frames/s off the TPU, and single-threaded PIL PNG encode
+// becomes the host bottleneck the way PIL decode was on the input side.
+
+bool encode_png_file(const char* path, int h, int w, const uint8_t* rgb) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return false;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr,
+                              nullptr);
+  if (!png) {
+    fclose(f);
+    return false;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    fclose(f);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(f);
+    return false;
+  }
+  png_init_io(png, f);
+  // Serving profile: compression 1 trades ~15% file size for ~5x encode
+  // speed vs libpng's default 6 (SR outputs are high-entropy; zlib level
+  // barely matters for them).
+  png_set_compression_level(png, 1);
+  png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  for (int y = 0; y < h; y++)
+    png_write_row(png, const_cast<png_bytep>(rgb + size_t(y) * w * 3));
+  png_write_end(png, info);
+  png_destroy_write_struct(&png, &info);
+  fclose(f);
+  return true;
+}
+
+bool encode_jpeg_file(const char* path, int h, int w, const uint8_t* rgb,
+                      int quality) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return false;
+  jpeg_compress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_compress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_stdio_dest(&cinfo, f);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<JSAMPROW>(
+        rgb + size_t(cinfo.next_scanline) * w * 3);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  fclose(f);
+  return true;
+}
+
+bool has_suffix(const char* path, const char* suf) {
+  size_t lp = std::strlen(path), ls = std::strlen(suf);
+  if (ls > lp) return false;
+  for (size_t i = 0; i < ls; i++) {
+    char a = path[lp - ls + i], b = suf[i];
+    if (a >= 'A' && a <= 'Z') a += 'a' - 'A';
+    if (a != b) return false;
+  }
+  return true;
+}
+
 }  // namespace
 
 // ----------------------------------------------------------------- C API --
@@ -315,7 +402,48 @@ int srgan_load_batch_u8(const char** paths, int n, int out_h, int out_w,
   return ok_count.load();
 }
 
+// Encode one HWC float32 [0,1] image to `path` (format by extension:
+// .jpg/.jpeg -> JPEG quality 95, everything else PNG). The float->uint8
+// conversion matches utils/image_io.array_to_image: clamp then
+// floor(v*255 + 0.5). Returns 0 ok, -1 failed.
+int srgan_save_image(const char* path, int h, int w, const float* img) {
+  size_t n = size_t(h) * w * 3;
+  std::vector<uint8_t> rgb(n);
+  for (size_t k = 0; k < n; k++) {
+    float v = img[k];
+    v = v < 0.0f ? 0.0f : (v > 1.0f ? 1.0f : v);
+    rgb[k] = uint8_t(v * 255.0f + 0.5f);
+  }
+  bool ok = (has_suffix(path, ".jpg") || has_suffix(path, ".jpeg"))
+                ? encode_jpeg_file(path, h, w, rgb.data(), 95)
+                : encode_png_file(path, h, w, rgb.data());
+  return ok ? 0 : -1;
+}
+
+// Threaded batch encode: `imgs` is (n, h, w, 3) float32. status[i]: 0 ok.
+// Returns the number successfully written.
+int srgan_save_batch(const char** paths, int n, int h, int w,
+                     const float* imgs, int* status, int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  std::atomic<int> next(0), ok_count(0);
+  size_t stride = size_t(h) * w * 3;
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      int rc = srgan_save_image(paths[i], h, w, imgs + stride * i);
+      status[i] = rc;
+      if (rc == 0) ok_count.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  int nt = num_threads < n ? num_threads : n;
+  for (int t = 0; t < nt; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return ok_count.load();
+}
+
 // Probe: returns the ABI version.
-int srgan_loader_version() { return 2; }
+int srgan_loader_version() { return 3; }
 
 }  // extern "C"

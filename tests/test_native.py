@@ -94,3 +94,48 @@ class TestNativeLoader:
         hr, lr = batches[0]
         assert hr.shape == (2, 16, 16, 3) and lr.shape == (2, 8, 8, 3)
         pipe.close()
+
+
+class TestNativeEncoder:
+    def test_png_bit_parity_with_pil_conversion(self, tmp_path, rng):
+        """Native float->uint8->PNG must match array_to_image's conversion
+        (clamp, *255+0.5 floor) bit for bit."""
+        from srgan_tpu.utils.image_io import array_to_image
+
+        if not native.encoder_available():
+            pytest.skip("encoder API not available")
+        img = (rng.random((24, 32, 3)).astype(np.float32) - 0.1) * 1.3
+        p = str(tmp_path / "out.png")
+        assert native.save_image(p, img)
+        got = np.asarray(Image.open(p).convert("RGB"))
+        want = np.asarray(array_to_image(img))
+        np.testing.assert_array_equal(got, want)
+
+    def test_jpeg_roundtrip_close(self, tmp_path, rng):
+        if not native.encoder_available():
+            pytest.skip("encoder API not available")
+        # smooth gradient — random noise is pathological for JPEG's DCT
+        y, x = np.mgrid[0:24, 0:32].astype(np.float32)
+        img = np.stack([y / 24, x / 32, (y + x) / 56], axis=-1)
+        p = str(tmp_path / "out.jpg")
+        assert native.save_image(p, img)
+        got = np.asarray(Image.open(p).convert("RGB")).astype(np.float32)
+        assert np.abs(got / 255.0 - np.clip(img, 0, 1)).mean() < 0.05
+
+    def test_batch_threaded(self, tmp_path, rng):
+        if not native.encoder_available():
+            pytest.skip("encoder API not available")
+        imgs = rng.random((7, 16, 16, 3)).astype(np.float32)
+        paths = [str(tmp_path / f"b{i}.png") for i in range(7)]
+        ok = native.save_batch(paths, imgs, num_threads=3)
+        assert ok.all()
+        for i, p in enumerate(paths):
+            got = np.asarray(Image.open(p).convert("RGB"))
+            want = (np.clip(imgs[i], 0, 1) * 255 + 0.5).astype(np.uint8)
+            np.testing.assert_array_equal(got, want)
+
+    def test_unwritable_path_fails_cleanly(self, rng):
+        if not native.encoder_available():
+            pytest.skip("encoder API not available")
+        img = rng.random((8, 8, 3)).astype(np.float32)
+        assert not native.save_image("/nonexistent_dir_xyz/o.png", img)
