@@ -44,6 +44,7 @@ from srgan_tpu.training.pool import GeneratorPool, PoolMember
 from srgan_tpu.training.steps import (
     discriminator_step_on_sr,
     eval_step,
+    gan_train_step,
     generator_gan_step,
     generator_pixel_step,
     infer_step,
@@ -355,12 +356,30 @@ class Trainer:
             # documented deviation as the stacked path).
             batch_items = []
             sr_for_d = None
+            d_loss = None
             for i, member in enumerate(self.pool.members):
                 use_gan = (
                     self.d_state is not None and self.pool.choose_gan(i)
                 )
                 want_sr = i == d_idx
-                if use_gan:
+                if use_gan and want_sr:
+                    # This member's GAN update and the shared D update fuse
+                    # into ONE executable (gan_train_step): D(sr)/D(hr) are
+                    # computed once instead of twice across the pair.
+                    member.state, self.d_state, metrics = gan_train_step(
+                        member.state,
+                        self.d_state,
+                        self.d_state.apply_fn,
+                        hr,
+                        lr_imgs,
+                        g_lr,
+                        d_lr,
+                        self.vgg_apply,
+                        self.vgg_params,
+                        cfg.train.perceptual_weight,
+                    )
+                    d_loss = metrics.pop("d_loss")
+                elif use_gan:
                     member.state, metrics = generator_gan_step(
                         member.state,
                         self.d_state.apply_fn,
@@ -371,7 +390,7 @@ class Trainer:
                         self.vgg_apply,
                         self.vgg_params,
                         cfg.train.perceptual_weight,
-                        return_sr=want_sr,
+                        return_sr=False,
                     )
                 else:
                     member.state, metrics = generator_pixel_step(
@@ -381,15 +400,15 @@ class Trainer:
                         cfg.train.perceptual_weight,
                         return_sr=want_sr,
                     )
-                if want_sr:
+                if want_sr and "sr" in metrics:
                     sr_for_d = metrics.pop("sr")
                 batch_items.append((i, metrics, use_gan))
 
-            # Discriminator step (shared across the pool), when GAN is on —
-            # the reference's (commented) per-batch D update, train.py:155.
-            # Its loss scalar joins the lagged drain: no per-batch sync.
-            d_loss = None
-            if self.d_state is not None:
+            # Discriminator step (shared across the pool) when the d-target
+            # member took a pixel update this batch — the reference's
+            # (commented) per-batch D update, train.py:155. Its loss scalar
+            # joins the lagged drain: no per-batch sync.
+            if self.d_state is not None and d_loss is None:
                 self.d_state, d_metrics = discriminator_step_on_sr(
                     self.d_state, hr, sr_for_d, d_lr
                 )

@@ -151,6 +151,49 @@ def generator_gan_step(
     return new_state, metrics
 
 
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0, 1),
+    static_argnames=("d_apply_fn", "vgg_apply_fn"),
+)
+def gan_train_step(
+    g_state: TrainState,
+    d_state: TrainState,
+    d_apply_fn,
+    hr: jax.Array,
+    lr_imgs: jax.Array,
+    g_lr: jax.Array,
+    d_lr: jax.Array,
+    vgg_apply_fn=None,
+    vgg_params: Any = None,
+    p_weight: float = 0.0,
+) -> Tuple[TrainState, TrainState, dict]:
+    """Generator + discriminator GAN updates fused into ONE executable.
+
+    Semantics are identical to ``generator_gan_step(return_sr=True)``
+    followed by :func:`discriminator_step_on_sr` (both updates read their
+    pre-update counterpart — "simultaneous" GAN semantics), but fusing
+    lets XLA CSE the discriminator forwards the two-dispatch pair computes
+    twice: ``D(sr)`` and ``D(hr)`` each appear in BOTH the generator's
+    adversarial term and the discriminator's own loss, on identical inputs
+    and identical pre-update ``d_params``. One executable → each runs
+    once, and a per-batch dispatch round-trip disappears with it.
+    """
+    (g_loss, aux), grads = jax.value_and_grad(
+        generator_gan_loss_fn, has_aux=True
+    )(
+        g_state.params, g_state.apply_fn, d_apply_fn, d_state.params,
+        hr, lr_imgs, vgg_apply_fn, vgg_params, p_weight,
+    )
+    sr = aux.pop("sr")
+    new_g = g_state.apply_gradients(grads, g_lr)
+    d_loss, d_grads = jax.value_and_grad(_d_loss_on_sr)(
+        d_state.params, d_apply_fn, hr, sr
+    )
+    new_d = d_state.apply_gradients(d_grads, d_lr)
+    return new_g, new_d, {"g_loss": g_loss, **aux, "d_loss": d_loss}
+
+
 def generator_perceptual_step(
     g_state: TrainState,
     vgg_apply_fn,

@@ -210,6 +210,51 @@ class TestGanSteps:
             d_state_b.params,
         )
 
+    def test_fused_gan_train_step_matches_two_dispatch(self, rng):
+        """gan_train_step (one executable) == generator_gan_step(return_sr)
+        + discriminator_step_on_sr: same G params, same D params, same
+        losses — the CSE fusion must not change semantics."""
+        from srgan_tpu.training.steps import (
+            discriminator_step_on_sr,
+            gan_train_step,
+            generator_gan_step,
+        )
+
+        g_model, g_params = _tiny_gen()
+        d_model, d_params = self._tiny_disc()
+        hr = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+        lr_imgs = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+        g_lr, d_lr = jnp.asarray(1e-4), jnp.asarray(1e-3)
+        copy = lambda t: jax.tree.map(jnp.array, t)  # noqa: E731
+
+        g_a = TrainState.create(apply_fn=g_model.apply, params=copy(g_params))
+        d_a = TrainState.create(apply_fn=d_model.apply, params=copy(d_params))
+        g_a, m_a = generator_gan_step(
+            g_a, d_model.apply, d_a.params, hr, lr_imgs, g_lr, return_sr=True
+        )
+        d_a, dm_a = discriminator_step_on_sr(d_a, hr, m_a.pop("sr"), d_lr)
+
+        g_b = TrainState.create(apply_fn=g_model.apply, params=copy(g_params))
+        d_b = TrainState.create(apply_fn=d_model.apply, params=copy(d_params))
+        g_b, d_b, m_b = gan_train_step(
+            g_b, d_b, d_model.apply, hr, lr_imgs, g_lr, d_lr
+        )
+
+        assert float(m_b["g_loss"]) == pytest.approx(
+            float(m_a["g_loss"]), rel=1e-5
+        )
+        assert float(m_b["d_loss"]) == pytest.approx(
+            float(dm_a["d_loss"]), rel=1e-5
+        )
+        for tree_a, tree_b in ((g_a.params, g_b.params),
+                               (d_a.params, d_b.params)):
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+                ),
+                tree_a, tree_b,
+            )
+
     def test_generator_steps_hide_sr_by_default(self, rng):
         from srgan_tpu.training.steps import generator_pixel_step
 
