@@ -86,9 +86,6 @@ def main():
                     help="compute held-out PSNR/SSIM after each epoch "
                          "(for quality curves, e.g. F=64 vs F=128)")
     ap.add_argument("--val-images", type=int, default=48)
-    ap.add_argument("--fused", dest="fused", action="store_true", default=None,
-                    help="force the fused cached-epoch path")
-    ap.add_argument("--no-fused", dest="fused", action="store_false")
     args = ap.parse_args()
 
     h, w = 512, 1024
@@ -110,9 +107,6 @@ def main():
     from srgan_tpu.training.loop import Trainer
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    data_kw = {}
-    if args.fused is not None:
-        data_kw["fused_epoch"] = "on" if args.fused else "off"
     cfg = Config(
         model=ModelConfig(
             num_features=args.features,
@@ -123,7 +117,7 @@ def main():
             compute_dtype="bfloat16" if on_tpu else "float32",
         ),
         data=DataConfig(
-            hr_size=(h, w), batch_size=args.batch, device_cache="on", **data_kw
+            hr_size=(h, w), batch_size=args.batch, device_cache="on"
         ),
         pool=PoolConfig(num_generators=args.pool),
         train=TrainConfig(use_gan=args.gan, num_epochs=args.epochs),

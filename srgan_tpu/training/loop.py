@@ -218,16 +218,23 @@ class Trainer:
         pending = None
 
         def drain(pending):
-            metrics, d_loss = pending
-            com = np.asarray(metrics["com_loss"])  # (N,) small fetch
+            # ONE host fetch per batch: the step packs every loss scalar
+            # into metrics["packed"] ((5, N), +d_loss appended flat in GAN
+            # mode). Fetching 5-6 buffers individually costs ~2 ms of
+            # tunnel round-trip EACH — more than the batch's entire
+            # data-prep (measured; see steps.PACKED_KEYS).
+            packed, has_d = pending
+            arr = np.asarray(packed)
+            if has_d:
+                sums["d_loss"] += float(arr[-1])
+                arr = arr[:-1]
+            g, com, tv, g_d, p = arr.reshape(5, -1)
             self.spool.record_losses(com)
-            sums["g_loss"] += float(np.asarray(metrics["g_loss"])[0])
+            sums["g_loss"] += float(g[0])
             sums["com_loss"] += float(com[0])
-            sums["tv_loss"] += float(np.asarray(metrics["tv_loss"])[0])
-            sums["g_d_loss"] += float(np.asarray(metrics["g_d_loss"])[0])
-            sums["p_loss"] += float(np.asarray(metrics["p_loss"])[0])
-            if d_loss is not None:
-                sums["d_loss"] += float(d_loss)
+            sums["tv_loss"] += float(tv[0])
+            sums["g_d_loss"] += float(g_d[0])
+            sums["p_loss"] += float(p[0])
 
         for hr, lr_imgs in pipeline.epoch(epoch, epoch_key):
             # Discriminator policy (PoolConfig.d_train_target): by default
@@ -250,14 +257,14 @@ class Trainer:
             else:
                 d_idx = 0
             gan_mask = jnp.asarray(self.spool.sample_gan_mask(use_gan))
-            d_loss = None
             if use_gan:
                 # Fully-fused GAN batch: pool update + D update in ONE
                 # executable (simultaneous-update semantics; see
-                # stacked_pool_gan_step). d_loss stays on device until the
-                # lagged drain — a per-batch float() here would stall the
-                # pipeline on exactly the pool+GAN configuration (VERDICT
-                # r1 weak #1).
+                # stacked_pool_gan_step). Every loss scalar incl. d_loss
+                # stays on device inside metrics["packed"] until the lagged
+                # drain — a per-batch float() here would stall the pipeline
+                # on exactly the pool+GAN configuration (VERDICT r1 weak
+                # #1).
                 self.spool.state, self.d_state, metrics = (
                     stacked_pool_gan_step(
                         self.spool.state,
@@ -275,7 +282,6 @@ class Trainer:
                         d_target_idx=np.int32(d_idx),
                     )
                 )
-                d_loss = metrics.pop("d_loss")
             else:
                 self.spool.state, metrics = stacked_pool_step(
                     self.spool.state,
@@ -292,7 +298,7 @@ class Trainer:
                 )
             if pending is not None:
                 drain(pending)
-            pending = (metrics, d_loss)
+            pending = (metrics["packed"], use_gan)
             n_batches += 1
             self.throughput.add(hr.shape[0])
         if pending is not None:
@@ -325,16 +331,23 @@ class Trainer:
         pending = ([], None)
 
         def drain(pending):
+            # One host fetch per member (the step's metrics["packed"]
+            # vector; (6,) when the fused gan_train_step carried the D
+            # update) — per-scalar float() fetches cost a ~2 ms tunnel
+            # round-trip each (see steps.PACKED_KEYS).
             items, d_loss = pending
-            for i, metrics, used_gan in items:
+            for i, packed, used_gan in items:
+                arr = np.asarray(packed)
+                if arr.shape[0] == 6:
+                    sums["d_loss"] += float(arr[5])
+                g, com, tv, g_d, p = (float(v) for v in arr[:5])
                 # The ordering signal is the contrastive/pixel loss only.
-                self.pool.record_loss(
-                    i, float(metrics["com_loss"]), used_gan=used_gan
-                )
+                self.pool.record_loss(i, com, used_gan=used_gan)
                 if i == 0:
-                    for k in ("g_loss", "com_loss", "tv_loss", "g_d_loss",
-                              "p_loss"):
-                        sums[k] += float(metrics[k])
+                    for k, v in zip(("g_loss", "com_loss", "tv_loss",
+                                     "g_d_loss", "p_loss"),
+                                    (g, com, tv, g_d, p)):
+                        sums[k] += v
             if d_loss is not None:
                 sums["d_loss"] += float(d_loss)
 
@@ -357,6 +370,7 @@ class Trainer:
             batch_items = []
             sr_for_d = None
             d_loss = None
+            d_in_packed = False
             for i, member in enumerate(self.pool.members):
                 use_gan = (
                     self.d_state is not None and self.pool.choose_gan(i)
@@ -378,7 +392,7 @@ class Trainer:
                         self.vgg_params,
                         cfg.train.perceptual_weight,
                     )
-                    d_loss = metrics.pop("d_loss")
+                    d_in_packed = True  # d_loss rides this member's packed
                 elif use_gan:
                     member.state, metrics = generator_gan_step(
                         member.state,
@@ -402,13 +416,13 @@ class Trainer:
                     )
                 if want_sr and "sr" in metrics:
                     sr_for_d = metrics.pop("sr")
-                batch_items.append((i, metrics, use_gan))
+                batch_items.append((i, metrics["packed"], use_gan))
 
             # Discriminator step (shared across the pool) when the d-target
             # member took a pixel update this batch — the reference's
             # (commented) per-batch D update, train.py:155. Its loss scalar
             # joins the lagged drain: no per-batch sync.
-            if self.d_state is not None and d_loss is None:
+            if self.d_state is not None and not d_in_packed:
                 self.d_state, d_metrics = discriminator_step_on_sr(
                     self.d_state, hr, sr_for_d, d_lr
                 )

@@ -40,7 +40,7 @@ from srgan_tpu.ops.recon_loss import (
     edge_importance_map,
     reconstruction_loss_with_edges,
 )
-from srgan_tpu.training.steps import perceptual_term
+from srgan_tpu.training.steps import pack_metrics, perceptual_term
 from srgan_tpu.training.train_state import TrainState
 
 
@@ -157,6 +157,7 @@ def stacked_pool_step(
     new_state = stacked_state.replace(params=new_params, opt_state=new_opt)
     metrics = {"com_loss": com, "tv_loss": tv, "g_d_loss": g_d, "p_loss": p,
                "g_loss": com + tv + gan_mask * g_d + p_weight * p}
+    metrics["packed"] = pack_metrics(metrics)  # (5, N): one drain fetch
     if return_sr:
         metrics["sr"] = jnp.take(srs, d_target_idx, axis=0)
     return new_state, metrics
@@ -223,6 +224,8 @@ def stacked_pool_gan_step(
     metrics = {"com_loss": com, "tv_loss": tv, "g_d_loss": g_d, "p_loss": p,
                "g_loss": com + tv + gan_mask * g_d + p_weight * p,
                "d_loss": d_loss}
+    # flat (5*N + 1,) vector, d_loss last: one drain fetch per batch
+    metrics["packed"] = pack_metrics(metrics, d_loss)
     return new_g_state, new_d_state, metrics
 
 

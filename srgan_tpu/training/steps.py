@@ -30,6 +30,23 @@ from srgan_tpu.ops.metrics import batched_psnr_ssim
 from srgan_tpu.ops.recon_loss import reconstruction_loss
 from srgan_tpu.training.train_state import TrainState
 
+# Layout of the fetch-once loss vector every train step also returns as
+# ``metrics["packed"]``. Over the dev tunnel each host fetch costs ~2 ms of
+# round-trip latency, so draining 5-6 scalars individually costs more than
+# the entire data-prep of a batch; one stacked array = one fetch.
+PACKED_KEYS = ("g_loss", "com_loss", "tv_loss", "g_d_loss", "p_loss")
+
+
+def pack_metrics(metrics: dict, d_loss=None) -> jax.Array:
+    """Stack the standard loss scalars (PACKED_KEYS order) — and append
+    ``d_loss`` when given — into one device array for a single host fetch."""
+    packed = jnp.stack([jnp.asarray(metrics[k]) for k in PACKED_KEYS])
+    if d_loss is not None:
+        packed = jnp.concatenate(
+            [packed.reshape(-1), jnp.reshape(d_loss, (1,))]
+        )
+    return packed
+
 
 def perceptual_term(sr, f_real, vgg_apply_fn, vgg_params):
     """Summed per-layer L1 distance between SR features and precomputed HR
@@ -92,6 +109,7 @@ def generator_pixel_step(
         aux = {k: v for k, v in aux.items() if k != "sr"}
     new_state = g_state.apply_gradients(grads, lr)
     metrics = {"g_loss": g_loss, "g_d_loss": jnp.zeros(()), **aux}
+    metrics["packed"] = pack_metrics(metrics)
     return new_state, metrics
 
 
@@ -148,6 +166,7 @@ def generator_gan_step(
         aux = {k: v for k, v in aux.items() if k != "sr"}
     new_state = g_state.apply_gradients(grads, lr)
     metrics = {"g_loss": g_loss, **aux}
+    metrics["packed"] = pack_metrics(metrics)
     return new_state, metrics
 
 
@@ -191,7 +210,9 @@ def gan_train_step(
         d_state.params, d_apply_fn, hr, sr
     )
     new_d = d_state.apply_gradients(d_grads, d_lr)
-    return new_g, new_d, {"g_loss": g_loss, **aux, "d_loss": d_loss}
+    metrics = {"g_loss": g_loss, **aux, "d_loss": d_loss}
+    metrics["packed"] = pack_metrics(metrics, d_loss)
+    return new_g, new_d, metrics
 
 
 def generator_perceptual_step(

@@ -115,10 +115,17 @@ class TestGeneratorStep:
         lr_imgs = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
         _, metrics = generator_pixel_step(state, hr, lr_imgs, jnp.asarray(1e-4))
         assert set(metrics) == {
-            "g_loss", "com_loss", "tv_loss", "g_d_loss", "p_loss",
+            "g_loss", "com_loss", "tv_loss", "g_d_loss", "p_loss", "packed",
         }
         assert float(metrics["g_d_loss"]) == 0.0  # pixel phase, train.py:192
         assert float(metrics["p_loss"]) == 0.0  # perceptual off by default
+        # packed mirrors the scalars in PACKED_KEYS order (one-fetch drain)
+        from srgan_tpu.training.steps import PACKED_KEYS
+
+        np.testing.assert_allclose(
+            np.asarray(metrics["packed"]),
+            [float(metrics[k]) for k in PACKED_KEYS],
+        )
 
 
 class TestGanSteps:
