@@ -213,18 +213,33 @@ def main(argv=None):
                 checkpoint_every=args.checkpoint_every,
             ),
         )
-        if args.profile_dir:
-            from srgan_tpu.utils.profiling import trace
+        try:
+            if args.profile_dir:
+                from srgan_tpu.utils.profiling import trace
 
-            with trace(args.profile_dir):
+                with trace(args.profile_dir):
+                    Trainer(cfg).train(
+                        continue_training=args.continue_training,
+                        resume=args.resume,
+                    )
+            else:
                 Trainer(cfg).train(
                     continue_training=args.continue_training,
                     resume=args.resume,
                 )
-        else:
-            Trainer(cfg).train(
-                continue_training=args.continue_training, resume=args.resume
-            )
+        except Exception as e:  # noqa: BLE001 — annotate OOMs, re-raise
+            if "RESOURCE_EXHAUSTED" in str(e):
+                hints = ["--batch-size lower than "
+                         f"{cfg.data.batch_size}"]
+                if not cfg.model.remat:
+                    hints.insert(0, "--remat (required for multi-generator "
+                                    "GAN at flagship shapes)")
+                print(
+                    "error: the training program exceeded device memory. "
+                    "Try: " + "; ".join(hints) + ".",
+                    file=sys.stderr,
+                )
+            raise
     elif args.cmd == "eval":
         from srgan_tpu.eval.evaluation import evaluate_model
 
