@@ -256,16 +256,23 @@ def upscale_directory(
 ) -> int:
     """Batch-serving path: super-resolve every image in a folder.
 
-    Same-shape images are bucketed and processed in device batches (each
-    distinct input size compiles one executable — images from one camera or
-    dataset usually share a size, so typically one compile total). Outputs
-    are written by the native C++ threaded encoder when built (the serving
+    Streaming, O(batch) host memory: a first header-only pass buckets
+    filenames by image size (each distinct input size compiles one
+    executable — images from one camera or dataset usually share a size, so
+    typically one compile total), then each bucket streams through in
+    device batches with the NEXT batch decoding on the native C++ thread
+    pool (GIL released) while the current one runs on the TPU. Outputs are
+    written by the native threaded encoder when built (the serving
     counterpart of the threaded decoder — single-threaded PIL PNG encode
-    caps the pipeline well below TPU SR rates), falling back to PIL.
-    Returns the number of images written.
+    caps the pipeline well below TPU SR rates); PIL fallback for both
+    directions. Unreadable/corrupt files are skipped, like the training
+    loader. Returns the number of images written.
     """
     import collections
     import os
+    from concurrent import futures
+
+    from PIL import Image as PILImage
 
     from srgan_tpu import native
     from srgan_tpu.data.dataset import list_image_files
@@ -281,30 +288,58 @@ def upscale_directory(
         )
     os.makedirs(output_dir, exist_ok=True)
 
+    # Header-only size pass: no pixel decode, O(1) memory per file.
     buckets = collections.defaultdict(list)
     for fname in list_image_files(input_dir):
-        img = load_image(os.path.join(input_dir, fname))
-        buckets[img.shape].append((fname, img))
+        try:
+            with PILImage.open(os.path.join(input_dir, fname)) as im:
+                buckets[(im.height, im.width)].append(fname)
+        except Exception:
+            continue  # unreadable — skip (training-loader parity)
 
-    native_enc = native.encoder_available()
+    use_native = native.available()
+    native_enc = use_native and native.encoder_available()
+
+    def decode(h, w, chunk):
+        paths = [os.path.join(input_dir, f) for f in chunk]
+        if use_native:
+            batch, ok = native.load_batch(paths, h, w)
+            return batch[ok], [f for f, o in zip(chunk, ok) if o]
+        imgs, names = [], []
+        for f, p in zip(chunk, paths):
+            try:
+                imgs.append(load_image(p))
+                names.append(f)
+            except Exception:
+                continue
+        return (np.stack(imgs) if imgs else
+                np.zeros((0, h, w, 3), np.float32)), names
+
     written = 0
-    for shape, items in buckets.items():
-        for i in range(0, len(items), batch_size):
-            chunk = items[i : i + batch_size]
-            batch = np.stack([img for _, img in chunk])
-            sr = upscaler.upscale(batch)
-            out_paths = [
-                os.path.join(output_dir, fname) for fname, _ in chunk
+    with futures.ThreadPoolExecutor(max_workers=1) as decoder:
+        for (h, w), fnames in buckets.items():
+            chunks = [
+                fnames[i : i + batch_size]
+                for i in range(0, len(fnames), batch_size)
             ]
-            if native_enc:
-                ok = native.save_batch(out_paths, np.asarray(sr))
-                written += int(ok.sum())
-                # native encode failures (e.g. exotic extension) fall back
-                for j in np.nonzero(~ok)[0]:
-                    save_image(sr[j], out_paths[j])
-                    written += 1
-            else:
-                for out, path in zip(sr, out_paths):
-                    save_image(out, path)
-                    written += 1
+            fut = decoder.submit(decode, h, w, chunks[0])
+            for ci in range(len(chunks)):
+                batch, names = fut.result()
+                if ci + 1 < len(chunks):  # overlap decode with device SR
+                    fut = decoder.submit(decode, h, w, chunks[ci + 1])
+                if not len(batch):
+                    continue
+                sr = upscaler.upscale(batch)
+                out_paths = [os.path.join(output_dir, f) for f in names]
+                if native_enc:
+                    ok = native.save_batch(out_paths, np.asarray(sr))
+                    written += int(ok.sum())
+                    # native encode failure (exotic extension): PIL fallback
+                    for j in np.nonzero(~ok)[0]:
+                        save_image(sr[j], out_paths[j])
+                        written += 1
+                else:
+                    for out, path in zip(sr, out_paths):
+                        save_image(out, path)
+                        written += 1
     return written

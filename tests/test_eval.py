@@ -237,6 +237,24 @@ class TestUpscaleDirectory:
         assert Image.open(str(dst / "im0.png")).size == (16, 16)
         assert Image.open(str(dst / "im2.png")).size == (20, 24)
 
+    def test_corrupt_files_skipped(self, tmp_path, rng):
+        from srgan_tpu.eval.inference import upscale_directory
+
+        src = tmp_path / "in"
+        dst = tmp_path / "out"
+        src.mkdir()
+        Image.fromarray(
+            rng.integers(0, 255, (8, 8, 3)).astype(np.uint8)
+        ).save(str(src / "good.png"))
+        (src / "broken.png").write_bytes(b"\x89PNG\r\n\x1a\nnot a real png")
+        (src / "not_even.jpg").write_bytes(b"garbage")
+        up = Upscaler.random_init(
+            ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        )
+        n = upscale_directory(str(src), str(dst), upscaler=up, batch_size=2)
+        assert n == 1
+        assert Image.open(str(dst / "good.png")).size == (16, 16)
+
 
 class TestPerceptualStep:
     def test_perceptual_step_runs(self, rng):
