@@ -105,12 +105,38 @@ class Upscaler:
         out = np.clip(np.asarray(sr), 0.0, 1.0)
         return out[0] if arr.ndim == 3 else out
 
-    def _upscale_sharded(self, batched: np.ndarray) -> jnp.ndarray:
+    def upscale_u8(self, image: np.ndarray) -> np.ndarray:
+        """Like :meth:`upscale` but returns uint8, quantized ON DEVICE
+        (`steps.infer_step_u8`) — 4x less device→host traffic, the serving
+        bottleneck on thin host links. Bit-identical to
+        ``array_to_image(self.upscale(x))``'s uint8 output (the enhance
+        epilogue runs inside the same executable)."""
+        from srgan_tpu.training.steps import infer_step_u8
+
+        arr = np.asarray(image, dtype=np.float32)
+        if arr.max() > 1.5:
+            arr = arr / 255.0
+        batched = arr[None] if arr.ndim == 3 else arr
+        if self.mesh is not None:
+            out = np.asarray(self._upscale_sharded(batched, u8=True))
+        else:
+            out = np.asarray(
+                infer_step_u8(
+                    self.model.apply,
+                    self.params,
+                    jnp.asarray(batched),
+                    enhance_out=self.enhance_output,
+                )
+            )
+        return out[0] if arr.ndim == 3 else out
+
+    def _upscale_sharded(self, batched: np.ndarray, u8: bool = False):
         """Data-parallel forward over ``self.mesh``: batch dim sharded,
         params replicated (cached after the first call). The batch is
         padded to a multiple of the mesh size so every chip gets an equal
         static-shape shard; padding rows are dropped on return."""
         from srgan_tpu.parallel.mesh import replicate, shard_batch
+        from srgan_tpu.training.steps import infer_step_u8
 
         if self._replicated_params is None:
             self._replicated_params = replicate(self.mesh, self.params)
@@ -122,7 +148,13 @@ class Upscaler:
                 [batched, np.repeat(batched[:1], pad, axis=0)]
             )
         x = shard_batch(self.mesh, jnp.asarray(batched))
-        sr = infer_step(self.model.apply, self._replicated_params, x)
+        if u8:
+            sr = infer_step_u8(
+                self.model.apply, self._replicated_params, x,
+                enhance_out=self.enhance_output,
+            )
+        else:
+            sr = infer_step(self.model.apply, self._replicated_params, x)
         return sr[:n]
 
     def upscale_file(self, in_path: str, out_path: str) -> None:
@@ -315,8 +347,25 @@ def upscale_directory(
         return (np.stack(imgs) if imgs else
                 np.zeros((0, h, w, 3), np.float32)), names
 
+    def write_batch(sr_u8, out_paths):
+        n_ok = 0
+        if native_enc:
+            ok = native.save_batch_u8(out_paths, sr_u8)
+            n_ok += int(ok.sum())
+            fails = np.nonzero(~ok)[0]
+        else:
+            fails = range(len(out_paths))
+        for j in fails:  # exotic extension / no native: PIL fallback
+            PILImage.fromarray(sr_u8[j]).save(out_paths[j])
+            n_ok += 1
+        return n_ok
+
     written = 0
-    with futures.ThreadPoolExecutor(max_workers=1) as decoder:
+    # Three overlapping stages on distinct resources: C++ decode of batch
+    # k+1, device SR + (tunnel) fetch of batch k, C++ encode of batch k-1.
+    with futures.ThreadPoolExecutor(max_workers=1) as decoder, \
+            futures.ThreadPoolExecutor(max_workers=1) as writer:
+        writes = []
         for (h, w), fnames in buckets.items():
             chunks = [
                 fnames[i : i + batch_size]
@@ -329,17 +378,10 @@ def upscale_directory(
                     fut = decoder.submit(decode, h, w, chunks[ci + 1])
                 if not len(batch):
                     continue
-                sr = upscaler.upscale(batch)
+                # uint8 off the device: quantization runs in the SR
+                # executable, host link carries 4x fewer bytes.
+                sr_u8 = upscaler.upscale_u8(batch)
                 out_paths = [os.path.join(output_dir, f) for f in names]
-                if native_enc:
-                    ok = native.save_batch(out_paths, np.asarray(sr))
-                    written += int(ok.sum())
-                    # native encode failure (exotic extension): PIL fallback
-                    for j in np.nonzero(~ok)[0]:
-                        save_image(sr[j], out_paths[j])
-                        written += 1
-                else:
-                    for out, path in zip(sr, out_paths):
-                        save_image(out, path)
-                        written += 1
+                writes.append(writer.submit(write_batch, sr_u8, out_paths))
+        written = sum(w.result() for w in writes)
     return written

@@ -64,8 +64,19 @@ def _load():
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ]
         lib.srgan_save_batch.restype = ctypes.c_int
+        lib.srgan_save_image_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.srgan_save_image_u8.restype = ctypes.c_int
+        lib.srgan_save_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
+        lib.srgan_save_batch_u8.restype = ctypes.c_int
     except AttributeError:
-        pass  # pre-v3 .so on disk; save_batch() checks the version
+        pass  # stale pre-encoder .so on disk; encoder_available() rebuilds
     _lib = lib
     return lib
 
@@ -99,16 +110,16 @@ def available() -> bool:
 
 
 def encoder_available() -> bool:
-    """True when the library exposes the v3 encoder API; rebuilds once if a
-    stale pre-encoder ``.so`` is on disk."""
+    """True when the library exposes the v4 encoder API (float + uint8
+    save); rebuilds once if a stale pre-encoder ``.so`` is on disk."""
     if not available():
         return False
     lib = _load()
-    if lib.srgan_loader_version() >= 3:
+    if lib.srgan_loader_version() >= 4:
         return True
     if build():
         lib = _load()
-        return lib is not None and lib.srgan_loader_version() >= 3
+        return lib is not None and lib.srgan_loader_version() >= 4
     return False
 
 
@@ -142,6 +153,27 @@ def save_batch(
     lib.srgan_save_batch(
         arr, n, h, w,
         imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    return status == 0
+
+
+def save_batch_u8(
+    paths: List[str], imgs: np.ndarray, num_threads: int = 4
+) -> np.ndarray:
+    """Encode a uint8 (n, h, w, 3) batch on C++ threads — the zero-copy
+    sink for device-quantized SR frames (``steps.infer_step_u8``)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader not built (run native.build())")
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    n, h, w, _ = imgs.shape
+    status = np.empty(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.srgan_save_batch_u8(
+        arr, n, h, w,
+        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         num_threads,
     )

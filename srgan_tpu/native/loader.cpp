@@ -443,7 +443,37 @@ int srgan_save_batch(const char** paths, int n, int h, int w,
   return ok_count.load();
 }
 
+// uint8 encode variants: the device already quantized (serving path
+// fetches uint8 frames — 4x less host-link traffic); no conversion pass.
+int srgan_save_image_u8(const char* path, int h, int w, const uint8_t* rgb) {
+  bool ok = (has_suffix(path, ".jpg") || has_suffix(path, ".jpeg"))
+                ? encode_jpeg_file(path, h, w, rgb, 95)
+                : encode_png_file(path, h, w, rgb);
+  return ok ? 0 : -1;
+}
+
+int srgan_save_batch_u8(const char** paths, int n, int h, int w,
+                        const uint8_t* imgs, int* status, int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  std::atomic<int> next(0), ok_count(0);
+  size_t stride = size_t(h) * w * 3;
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      int rc = srgan_save_image_u8(paths[i], h, w, imgs + stride * i);
+      status[i] = rc;
+      if (rc == 0) ok_count.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  int nt = num_threads < n ? num_threads : n;
+  for (int t = 0; t < nt; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return ok_count.load();
+}
+
 // Probe: returns the ABI version.
-int srgan_loader_version() { return 3; }
+int srgan_loader_version() { return 4; }
 
 }  // extern "C"

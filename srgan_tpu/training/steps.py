@@ -307,3 +307,23 @@ def eval_step(apply_fn, params, hr: jax.Array, lr_imgs: jax.Array):
 def infer_step(apply_fn, params, lr_imgs: jax.Array) -> jax.Array:
     """Plain SR forward for validation grids / inference."""
     return apply_fn({"params": params}, lr_imgs)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "enhance_out"))
+def infer_step_u8(
+    apply_fn, params, lr_imgs: jax.Array, enhance_out: bool = False
+) -> jax.Array:
+    """SR forward quantized to uint8 ON DEVICE (optionally through the
+    sharpen epilogue first). The serving path fetches these frames to the
+    host for encoding; doing the clip + *255+0.5 floor (bit-matching
+    ``utils.image_io.array_to_image``) device-side shrinks every
+    device→host transfer 4x — which is the serving bottleneck whenever the
+    host link is thin (the dev tunnel moves ~20 MB/s; even PCIe hosts save
+    real bandwidth)."""
+    from srgan_tpu.ops.filters import sharpen
+
+    sr = apply_fn({"params": params}, lr_imgs)
+    if enhance_out:
+        sr = sharpen(sr)
+    sr = jnp.clip(sr.astype(jnp.float32), 0.0, 1.0)
+    return jnp.floor(sr * 255.0 + 0.5).astype(jnp.uint8)

@@ -203,6 +203,25 @@ class TestUpscaler:
         assert out.shape == (20, 14, 3)
         assert out.min() >= 0.0 and out.max() <= 1.0
 
+    def test_upscale_u8_matches_float_path(self, rng):
+        """Device-side quantization (upscale_u8) must be bit-identical to
+        array_to_image(upscale(x)) — including through the enhance
+        epilogue."""
+        from srgan_tpu.utils.image_io import array_to_image
+
+        for enhance in (False, True):
+            up = Upscaler.random_init(
+                ModelConfig(num_features=8, num_residuals=1,
+                            upscale_factor=2),
+                enhance_output=enhance,
+            )
+            img = np.random.default_rng(5).random((12, 16, 3)).astype(
+                np.float32
+            )
+            want = np.asarray(array_to_image(up.upscale(img)))
+            got = up.upscale_u8(img)
+            np.testing.assert_array_equal(got, want)
+
     def test_upscale_file_roundtrip(self, tmp_path, rng):
         up = Upscaler.random_init(
             ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
