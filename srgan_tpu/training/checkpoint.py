@@ -24,6 +24,26 @@ from srgan_tpu.training.train_state import TrainState
 
 FINETUNE_PREFIX = "Post-Training"  # ``src/train.py:58``
 
+# Singleton async checkpointer for mid-training snapshots: the device→host
+# copy is synchronous (so donated/overwritten buffers are safe to reuse the
+# moment save() returns), but serialization + disk writes run on Orbax's
+# background thread, overlapping with the next training epochs instead of
+# stalling them.
+_async_ckptr: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _get_async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async snapshot hits disk."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
 
 def _ckpt_dir(results_dir: str, prefix: str) -> str:
     return os.path.abspath(os.path.join(results_dir, f"{prefix}_ckpt"))
@@ -37,6 +57,7 @@ def save_checkpoint(
     d_state: Optional[TrainState],
     epoch: int,
     model_config: Optional[ModelConfig] = None,
+    block: bool = True,
 ) -> str:
     """Write a complete training snapshot (all generators, discriminator,
     pool bookkeeping, epoch counter). The generator architecture is recorded
@@ -62,9 +83,18 @@ def save_checkpoint(
             "params": d_state.params,
             "opt_state": d_state.opt_state,
         }
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+    else:
+        # Periodic mid-training snapshot: arrays are staged to host
+        # synchronously inside save(), then written to disk on the
+        # background thread while training continues. Serialize against
+        # any previous in-flight save first (same directory).
+        ckptr = _get_async_checkpointer()
+        ckptr.wait_until_finished()
+        ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
     return path
 
 

@@ -556,6 +556,7 @@ class Trainer:
                     and (epoch + 1) % cfg.train.checkpoint_every == 0
                 ):
                     self._sync_pool_from_stacked()
+                    # non-blocking: disk writes overlap the next epochs
                     ckpt.save_checkpoint(
                         cfg.train.results_dir,
                         cfg.train.run_prefix,
@@ -563,6 +564,7 @@ class Trainer:
                         d_state=self.d_state,
                         epoch=epoch + 1,
                         model_config=cfg.model,
+                        block=False,
                     )
 
                 if (epoch + 1) % cfg.train.validate_every == 0:
@@ -599,6 +601,7 @@ class Trainer:
                 )
 
             self._sync_pool_from_stacked()
+            ckpt.wait_for_checkpoints()  # settle in-flight periodic saves
             ckpt.save_checkpoint(
                 cfg.train.results_dir,
                 cfg.train.run_prefix,
