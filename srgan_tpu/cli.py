@@ -217,12 +217,12 @@ def main(argv=None):
             if args.profile_dir:
                 from srgan_tpu.utils.profiling import trace
 
-                with trace(args.profile_dir):
-                    Trainer(cfg).train(
-                        continue_training=args.continue_training,
-                        resume=args.resume,
-                    )
+                ctx = trace(args.profile_dir)
             else:
+                import contextlib
+
+                ctx = contextlib.nullcontext()
+            with ctx:
                 Trainer(cfg).train(
                     continue_training=args.continue_training,
                     resume=args.resume,

@@ -334,16 +334,23 @@ def upscale_directory(
 
     def decode(h, w, chunk):
         paths = [os.path.join(input_dir, f) for f in chunk]
+        imgs, names, retry = [], [], list(zip(chunk, paths))
         if use_native:
             batch, ok = native.load_batch(paths, h, w)
-            return batch[ok], [f for f, o in zip(chunk, ok) if o]
-        imgs, names = [], []
-        for f, p in zip(chunk, paths):
+            imgs = [batch[j] for j in np.nonzero(ok)[0]]
+            names = [f for f, o in zip(chunk, ok) if o]
+            # Files the native decoder rejects (e.g. CMYK JPEG, exotic PNG
+            # layouts) but PIL can read still get served — only files BOTH
+            # decoders fail on are skipped.
+            retry = [(f, p) for (f, p), o in zip(retry, ok) if not o]
+        for f, p in retry:
             try:
-                imgs.append(load_image(p))
-                names.append(f)
+                img = load_image(p)
             except Exception:
                 continue
+            if img.shape[:2] == (h, w):
+                imgs.append(img)
+                names.append(f)
         return (np.stack(imgs) if imgs else
                 np.zeros((0, h, w, 3), np.float32)), names
 
@@ -366,6 +373,18 @@ def upscale_directory(
     with futures.ThreadPoolExecutor(max_workers=1) as decoder, \
             futures.ThreadPoolExecutor(max_workers=1) as writer:
         writes = []
+        written = 0
+
+        def submit_write(sr_u8, out_paths):
+            # keep the write pipeline 2-deep: each queued future pins its
+            # whole uint8 batch, so an unbounded backlog would grow host
+            # memory toward O(dataset) whenever encode runs slower than
+            # SR + fetch
+            nonlocal written
+            while len(writes) >= 2:
+                written += writes.pop(0).result()
+            writes.append(writer.submit(write_batch, sr_u8, out_paths))
+
         for (h, w), fnames in buckets.items():
             chunks = [
                 fnames[i : i + batch_size]
@@ -382,6 +401,6 @@ def upscale_directory(
                 # executable, host link carries 4x fewer bytes.
                 sr_u8 = upscaler.upscale_u8(batch)
                 out_paths = [os.path.join(output_dir, f) for f in names]
-                writes.append(writer.submit(write_batch, sr_u8, out_paths))
-        written = sum(w.result() for w in writes)
+                submit_write(sr_u8, out_paths)
+        written += sum(w.result() for w in writes)
     return written

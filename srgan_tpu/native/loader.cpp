@@ -100,17 +100,28 @@ Image decode_png(FILE* f) {
   int bit_depth, color_type;
   png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr,
                nullptr);
-  // normalize everything to 8-bit RGB
+  // normalize everything to 8-bit RGB. Alpha is stripped UNCONDITIONALLY:
+  // png_set_palette_to_rgb implies PNG_EXPAND, which also expands a tRNS
+  // chunk into a full alpha channel, so gating the strip on the ORIGINAL
+  // color_type's alpha mask bit (as this code once did) let palette/gray+
+  // tRNS files emit w*4-byte rows into the w*3 buffer — heap overflow.
+  // Dropping the alpha (never compositing) matches PIL convert("RGB"),
+  // the parity target.
   if (bit_depth == 16) png_set_strip_16(png);
   if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
     png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
   if (color_type == PNG_COLOR_TYPE_GRAY ||
       color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
     png_set_gray_to_rgb(png);
-  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  png_set_strip_alpha(png);
   png_read_update_info(png, info);
+  if (png_get_rowbytes(png, info) != size_t(w) * 3) {
+    // belt-and-braces: any transform combination that does not land on
+    // exactly RGB8 rows is rejected instead of overrunning the buffer
+    png_destroy_read_struct(&png, &info, nullptr);
+    return img;
+  }
 
   img.w = int(w);
   img.h = int(h);

@@ -376,10 +376,15 @@ class Trainer:
                     self.d_state is not None and self.pool.choose_gan(i)
                 )
                 want_sr = i == d_idx
-                if use_gan and want_sr:
-                    # This member's GAN update and the shared D update fuse
-                    # into ONE executable (gan_train_step): D(sr)/D(hr) are
-                    # computed once instead of twice across the pair.
+                if use_gan and want_sr and len(self.pool.members) == 1:
+                    # Single-member pool: the GAN update and the shared D
+                    # update fuse into ONE executable (gan_train_step) —
+                    # D(sr)/D(hr) are computed once instead of twice across
+                    # the pair. Multi-member pools keep the two-dispatch
+                    # path: the fused step updates D mid-member-loop, and
+                    # members after d_idx would read the POST-update D,
+                    # breaking the "every member reads the previous batch's
+                    # D" invariant the stacked path guarantees.
                     member.state, self.d_state, metrics = gan_train_step(
                         member.state,
                         self.d_state,

@@ -54,6 +54,22 @@ class TestNativeLoader:
         assert out is not None and out.shape == (16, 16, 3)
         assert 0.0 <= out.min() and out.max() <= 1.0
 
+    def test_palette_png_with_transparency(self, tmp_path, rng):
+        """Palette PNG with a tRNS chunk: used to heap-overflow (the alpha
+        channel that tRNS expansion added was never stripped because the
+        guard tested the original color_type). Now decodes as plain
+        palette-RGB, matching PIL convert('RGB')'s drop-the-transparency
+        behavior."""
+        arr = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+        p = str(tmp_path / "pal.png")
+        Image.fromarray(arr).convert(
+            "P", palette=Image.ADAPTIVE
+        ).save(p, transparency=0)
+        out = native.load_image_u8(p, 32, 32)
+        assert out is not None
+        pil = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(out, pil)
+
     def test_corrupt_returns_none(self, tmp_path):
         p = str(tmp_path / "bad.png")
         with open(p, "wb") as f:
