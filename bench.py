@@ -16,8 +16,17 @@ import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from srgan_tpu.utils.platform import (  # noqa: E402
+    enable_compilation_cache,
+    honor_jax_platforms_env,
+)
+
+honor_jax_platforms_env()
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 
 def _baseline_ips() -> float:

@@ -93,9 +93,13 @@ def main():
     make_dataset(args.data_dir, args.images, h, w)
     print(f"dataset ready ({time.perf_counter() - t0:.1f}s)")
 
-    from srgan_tpu.utils.platform import honor_jax_platforms_env
+    from srgan_tpu.utils.platform import (
+        enable_compilation_cache,
+        honor_jax_platforms_env,
+    )
 
     honor_jax_platforms_env()
+    enable_compilation_cache()
 
     import jax
 

@@ -130,29 +130,14 @@ def _add_upscale_dir(sub):
                         "(data-parallel serving mesh)")
 
 
-def _enable_compilation_cache():
-    """Persistent XLA compilation cache: recompiles of the same executables
-    (e.g. re-running eval, resuming training) become instant across
-    processes. Opt out with SRGAN_TPU_NO_COMPILE_CACHE=1."""
-    import os
-
-    if os.environ.get("SRGAN_TPU_NO_COMPILE_CACHE"):
-        return
-    import jax
-
-    path = os.environ.get(
-        "SRGAN_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/srgan_tpu_xla")
-    )
-    os.makedirs(path, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-
 def main(argv=None):
-    from srgan_tpu.utils.platform import honor_jax_platforms_env
+    from srgan_tpu.utils.platform import (
+        enable_compilation_cache,
+        honor_jax_platforms_env,
+    )
 
     honor_jax_platforms_env()
-    _enable_compilation_cache()
+    enable_compilation_cache()
     parser = argparse.ArgumentParser("srgan_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     _add_train(sub)

@@ -29,3 +29,20 @@ def honor_jax_platforms_env() -> None:
             jax.config.update("jax_platforms", val)
     except Exception:
         pass
+
+
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: recompiles of the same executables
+    (re-running a bench, resuming training, repeat evals) become loads
+    instead of multi-minute tunnel compiles. Opt out with
+    SRGAN_TPU_NO_COMPILE_CACHE=1; relocate with SRGAN_TPU_COMPILE_CACHE."""
+    if os.environ.get("SRGAN_TPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    path = os.environ.get(
+        "SRGAN_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/srgan_tpu_xla")
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
