@@ -43,6 +43,10 @@ def _add_train(sub):
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="snapshot the full state every N epochs "
                         "(preemption recovery; 0 = end-of-run only)")
+    p.add_argument("--keep-best", action="store_true",
+                   help="snapshot to <prefix>-best whenever val PSNR "
+                        "improves (long GAN fine-tunes can end below their "
+                        "peak)")
     p.add_argument("--resume", action="store_true",
                    help="continue the same run from the last snapshot")
     p.add_argument("--validate-every", type=int, default=5,
@@ -196,6 +200,7 @@ def main(argv=None):
                 seed=args.seed,
                 debug_nans=args.debug_nans,
                 checkpoint_every=args.checkpoint_every,
+                keep_best=args.keep_best,
             ),
         )
         try:

@@ -200,6 +200,12 @@ class TrainConfig:
     # ``train.py:123-125``). ``Trainer.train(resume=True)`` continues the
     # same run from the last snapshot's epoch.
     checkpoint_every: int = 0
+    # Track the best validation PSNR: every time the epoch score improves,
+    # snapshot to "<run_prefix>-best" (async, overlapped with training).
+    # The reference keeps only the final weights; long GAN fine-tunes can
+    # end below their peak, so this preserves the peak. Off by default =
+    # reference parity.
+    keep_best: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

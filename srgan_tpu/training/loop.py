@@ -86,6 +86,7 @@ class Trainer:
             )
             members.append(PoolMember(state=state))
         self.pool = GeneratorPool(members, cfg.pool, seed=cfg.train.seed)
+        self._best_psnr = float("-inf")  # keep_best watermark
         # Pools with >1 member execute vmap-stacked by default: one fused
         # step updates every member (srgan_tpu.training.stacked_pool).
         self.use_stacked = cfg.pool.stacked and cfg.pool.num_generators > 1
@@ -579,6 +580,19 @@ class Trainer:
                 self.history["epochs"].append(epoch + 1)
                 self.history["psnr"].append(psnr)
                 self.history["ssim"].append(ssim)
+
+                if cfg.train.keep_best and psnr > self._best_psnr:
+                    self._best_psnr = psnr
+                    self._sync_pool_from_stacked()
+                    ckpt.save_checkpoint(
+                        cfg.train.results_dir,
+                        f"{cfg.train.run_prefix}-best",
+                        pool=self.pool,
+                        d_state=self.d_state,
+                        epoch=epoch + 1,
+                        model_config=cfg.model,
+                        block=False,
+                    )
 
                 record = {
                     "epoch": epoch + 1,

@@ -154,6 +154,27 @@ class TestEndToEnd:
         # run 1 logged epochs 1,2; the resumed run logged 3,4 (not 1,2 again)
         assert epochs_logged == [1, 2, 3, 4]
 
+    def test_keep_best_snapshots_peak(self, tmp_path, data_dirs):
+        """keep_best writes a <prefix>-best checkpoint that loads back into
+        an Upscaler (it tracks the best-PSNR epoch, which the reference's
+        final-weights-only saving can lose)."""
+        from srgan_tpu.eval.inference import Upscaler
+        from srgan_tpu.training import checkpoint as ckpt
+
+        train_dir, val_dir = data_dirs
+        cfg = _tiny_cfg(tmp_path, num_epochs=2, keep_best=True)
+        Trainer(cfg, use_mesh=False).train(train_dir, val_dir)
+        ckpt.wait_for_checkpoints()
+        best_dir = os.path.join(
+            cfg.train.results_dir, "Training-best_ckpt"
+        )
+        assert os.path.isdir(best_dir)
+        up = Upscaler.from_checkpoint(
+            cfg.train.results_dir, "Training-best"
+        )
+        out = up.upscale(np.zeros((16, 16, 3), np.float32))
+        assert out.shape == (32, 32, 3)
+
     def test_gan_round_robin_d_target(self, tmp_path, data_dirs):
         """PoolConfig.d_train_target="round_robin": the shared D's fake
         batch cycles through the pool members instead of tracking the
