@@ -163,8 +163,16 @@ class SRResNet(nn.Module):
                 name="blocks", remat=self.remat, **block_kwargs
             )(out, None)
         else:
-            for _ in range(self.num_residuals):
-                out = block_cls(**block_kwargs)(out)
+            # Explicit names pin the param tree regardless of the remat
+            # flag: nn.remat's auto-naming would otherwise produce
+            # "CheckpointResidualBlock_N", making checkpoints silently
+            # non-portable across a pure compute-schedule choice (a
+            # pixel-phase run without --remat could not be GAN-fine-tuned
+            # with it).
+            for i in range(self.num_residuals):
+                out = block_cls(
+                    name=f"ResidualBlock_{i}", **block_kwargs
+                )(out)
 
         out = nn.Conv(
             self.num_features, (3, 3), padding=1, dtype=self.compute_dtype

@@ -98,20 +98,29 @@ def save_checkpoint(
     return path
 
 
-def _ondisk_has_discriminator(ckptr: ocp.StandardCheckpointer, path: str):
-    """Probe the saved tree's top-level keys without reading array data.
+def _ondisk_tree(ckptr: ocp.StandardCheckpointer, path: str):
+    """The saved tree's metadata (shapes/dtypes, no array data).
 
-    Returns the discriminator's metadata subtree (a pytree of
-    shape/dtype metadata) if the checkpoint saved one, else ``None``.
-    """
+    StandardCheckpointer.metadata returns the item's tree-of-metadata
+    (orbax >= 0.5 exposes it directly as a mapping-like pytree)."""
     meta = ckptr.metadata(path)
-    # StandardCheckpointer.metadata returns the item's tree-of-metadata
-    # (orbax >= 0.5 exposes it directly as a mapping-like pytree).
-    tree = getattr(meta, "item_metadata", meta)
+    return getattr(meta, "item_metadata", meta)
+
+
+def _ondisk_has_discriminator(tree):
+    """The discriminator's metadata subtree if the checkpoint saved one,
+    else ``None``."""
     try:
         return tree["discriminator"]
     except (KeyError, TypeError, IndexError):
         return None
+
+
+def _ondisk_generator_count(tree, default: int) -> int:
+    try:
+        return len(tree["generators"])
+    except (KeyError, TypeError):
+        return default
 
 
 def restore_checkpoint(
@@ -130,16 +139,42 @@ def restore_checkpoint(
     fresh ``d_state`` is kept as-is — and a GAN-phase checkpoint restores
     into a pixel-phase Trainer by reading-and-discarding the saved
     discriminator (the template mirrors the disk structure either way).
+
+    The pool may also RESIZE across phases (the reference cannot: it loads
+    ``Training_generator_model_{i}`` per member and crashes when counts
+    differ, ``src/train.py:51-59``): growing (e.g. pixel-train 1 generator,
+    GAN-fine-tune a 3-pool) warm-starts the extra members as copies of the
+    restored leader with fresh optimizer state; shrinking keeps the first N
+    saved members (checkpoints are written loss-sorted, so those are the
+    best N).
     """
+    import jax
+    import jax.numpy as jnp
+
     path = _ckpt_dir(results_dir, prefix)
     ckptr = ocp.StandardCheckpointer()
-    d_meta = _ondisk_has_discriminator(ckptr, path)
+    disk_tree = _ondisk_tree(ckptr, path)
+    d_meta = _ondisk_has_discriminator(disk_tree)
+    n_disk = _ondisk_generator_count(disk_tree, len(pool.members))
+    # The restore template must mirror the DISK structure: n_disk generator
+    # entries (every member shares one architecture, so member 0's structs
+    # template any extra on-disk entries) and n_disk pool_meta records.
+    gen_template = [
+        {"params": m.state.params, "opt_state": m.state.opt_state}
+        for m in pool.members[:n_disk]
+    ]
+    spare = pool.members[0]
+    while len(gen_template) < n_disk:
+        gen_template.append(
+            {
+                "params": spare.state.params,
+                "opt_state": spare.state.opt_state,
+            }
+        )
+    meta_template = pool.snapshot()[:1] * n_disk
     template = {
-        "generators": [
-            {"params": m.state.params, "opt_state": m.state.opt_state}
-            for m in pool.members
-        ],
-        "pool_meta": pool.snapshot(),
+        "generators": gen_template,
+        "pool_meta": meta_template,
         "epoch": 0,
     }
     if d_meta is not None:
@@ -152,8 +187,6 @@ def restore_checkpoint(
             # Saved but unwanted (GAN checkpoint, pixel-phase resume):
             # restore into shape-structs built from the on-disk metadata,
             # then drop it.
-            import jax
-
             template["discriminator"] = jax.tree.map(
                 lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype),
                 d_meta,
@@ -168,6 +201,27 @@ def restore_checkpoint(
         m.pre_loss = float(meta["pre_loss"])
         m.gan_updates = int(meta["gan_updates"])
         m.pixel_updates = int(meta["pixel_updates"])
+    if len(pool.members) > n_disk:
+        # Pool grew across phases: warm-start the extras as COPIES of the
+        # restored leader (fresh Adam state). Copies, not references — the
+        # fused steps donate their state buffers, and members sharing
+        # buffers would invalidate each other.
+        lead_params = pool.members[0].state.params
+        for m in pool.members[n_disk:]:
+            m.state = m.state.replace(
+                params=jax.tree.map(jnp.array, lead_params)
+            )
+        print(
+            f"checkpoint '{prefix}' has {n_disk} generator(s); pool wants "
+            f"{len(pool.members)} — extra members warm-started from the "
+            "restored leader"
+        )
+    elif len(pool.members) < n_disk:
+        print(
+            f"checkpoint '{prefix}' has {n_disk} generators; pool wants "
+            f"{len(pool.members)} — keeping the best (first) "
+            f"{len(pool.members)} of the loss-sorted snapshot"
+        )
     if d_state is not None and "discriminator" in restored:
         d = restored["discriminator"]
         d_state = d_state.replace(params=d["params"], opt_state=d["opt_state"])

@@ -220,6 +220,58 @@ class TestEndToEnd:
         assert np.isfinite(last["d_loss"]) and last["d_loss"] != 0.0
         assert last["g_d_loss"] != 0.0  # adversarial fine-tune was live
 
+    def test_pool_grows_across_phases(self, tmp_path, data_dirs):
+        """Pixel-train ONE generator, GAN-fine-tune a 3-member pool: the
+        two saved-vs-wanted pool sizes differ (the reference crashes here,
+        src/train.py:51-59); extras warm-start as copies of the restored
+        leader, then diverge."""
+        train_dir, val_dir = data_dirs
+        cfg1 = _tiny_cfg(tmp_path, hr=64, num_epochs=1)
+        Trainer(cfg1, use_mesh=False).train(train_dir, val_dir)
+
+        base = _tiny_cfg(tmp_path, hr=64, num_epochs=1, use_gan=True)
+        cfg2 = Config(
+            model=base.model, data=base.data, train=base.train,
+            discriminator=DiscriminatorConfig(num_filters=8, num_stages=2),
+            pool=PoolConfig(
+                num_generators=3, starting_gan_loss=1e9,
+                p_gan_above=1.0, p_gan_leader=1.0,
+            ),
+        )
+        t2 = Trainer(cfg2, use_mesh=False)
+        # warm start assertion BEFORE training: restore directly
+        from srgan_tpu.training import checkpoint as ckpt
+
+        pool, d_state, _ = ckpt.restore_checkpoint(
+            cfg1.train.results_dir, "Training",
+            pool=t2.pool, d_state=t2.d_state,
+        )
+        import jax
+
+        l0 = jax.tree.leaves(pool.members[0].state.params)[0]
+        l2 = jax.tree.leaves(pool.members[2].state.params)[0]
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l2))
+
+        last = t2.train(train_dir, val_dir, continue_training=True)
+        assert np.isfinite(last["g_loss"])
+        assert np.isfinite(last["d_loss"])
+
+    def test_pool_shrinks_across_phases(self, tmp_path, data_dirs):
+        """3-pool checkpoint into a 1-generator Trainer: the best (first)
+        saved member restores; training proceeds."""
+        train_dir, val_dir = data_dirs
+        base1 = _tiny_cfg(tmp_path, hr=64, num_epochs=1)
+        cfg1 = Config(
+            model=base1.model, data=base1.data, train=base1.train,
+            pool=PoolConfig(num_generators=3),
+        )
+        Trainer(cfg1, use_mesh=False).train(train_dir, val_dir)
+
+        cfg2 = _tiny_cfg(tmp_path, hr=64, num_epochs=1)
+        t2 = Trainer(cfg2, use_mesh=False)
+        last = t2.train(train_dir, val_dir, continue_training=True)
+        assert np.isfinite(last["g_loss"])
+
     def test_gan_to_pixel_finetune(self, tmp_path, data_dirs):
         """Reverse crossing: a GAN-phase checkpoint (discriminator on disk)
         restores into a pixel-phase Trainer — the saved discriminator is

@@ -191,3 +191,34 @@ class TestEnhancer:
         out = enhance(x)
         assert out.shape == x.shape
         assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+class TestCheckpointPortability:
+    def test_remat_flag_does_not_change_param_tree(self):
+        """remat is a compute-schedule choice; the checkpoint format must
+        not depend on it (nn.remat's auto-naming would otherwise rename
+        blocks to CheckpointResidualBlock_N, breaking cross-phase
+        restores that toggle --remat)."""
+        import jax
+        import numpy as np
+
+        from srgan_tpu.config import ModelConfig
+        from srgan_tpu.models.srresnet import init_generator
+
+        trees = {}
+        for remat in (False, True):
+            cfg = ModelConfig(num_features=8, num_residuals=2, remat=remat)
+            model, params = init_generator(
+                cfg, jax.random.key(0), sample_hw=(8, 8)
+            )
+            trees[remat] = (model, params)
+        flat_a = jax.tree_util.tree_structure(trees[False][1])
+        flat_b = jax.tree_util.tree_structure(trees[True][1])
+        assert flat_a == flat_b
+        # and the remat model runs plain-trained params identically
+        import jax.numpy as jnp
+
+        x = jnp.ones((1, 8, 8, 3))
+        a = trees[False][0].apply({"params": trees[False][1]}, x)
+        b = trees[True][0].apply({"params": trees[False][1]}, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
