@@ -51,6 +51,11 @@ def _add_train(sub):
                    help="continue the same run from the last snapshot")
     p.add_argument("--validate-every", type=int, default=5,
                    help="comparison-grid cadence in epochs (train.py:114)")
+    p.add_argument("--device-cache", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="HBM-resident uint8 dataset cache (fastest epochs; "
+                        "'off' streams from host when the cache + training "
+                        "program don't fit together)")
     p.add_argument("--noise-std-max", type=float, default=0.03,
                    help="max per-image LR noise severity (transformers.py:76)")
     p.add_argument("--salt-prob", type=float, default=0.0,
@@ -183,6 +188,7 @@ def main(argv=None):
                 salt_prob=args.salt_prob,
                 pepper_prob=args.pepper_prob,
                 sp_spot_size=args.spot_size,
+                device_cache=args.device_cache,
             ),
             pool=PoolConfig(
                 num_generators=args.num_generators,
@@ -221,6 +227,10 @@ def main(argv=None):
             if "RESOURCE_EXHAUSTED" in str(e):
                 hints = ["--batch-size lower than "
                          f"{cfg.data.batch_size}"]
+                if cfg.data.device_cache != "off":
+                    hints.insert(0, "--device-cache off (the HBM dataset "
+                                    "cache competes with the training "
+                                    "program)")
                 if not cfg.model.remat:
                     hints.insert(0, "--remat (required for multi-generator "
                                     "GAN at flagship shapes)")

@@ -640,6 +640,10 @@ class Trainer:
         finally:
             pipeline.close()
             val_pipeline.close()
+            # Settle any in-flight async snapshot even on failure —
+            # letting the interpreter shut down mid-serialization leaves
+            # a partial checkpoint and raises from Orbax's executor.
+            ckpt.wait_for_checkpoints()
         return last
 
 
