@@ -525,6 +525,10 @@ class Trainer:
             )
             self.pool.reseed((cfg.train.seed, start_epoch))
             self._rebuild_stacked_from_pool(start_epoch)
+            # resumed run: keep the earlier epochs' records
+            self.logger = MetricsLogger(
+                cfg.train.results_dir, cfg.train.run_prefix, append=True
+            )
 
         num_shards, shard_index = process_shard_info()
         pipeline = TrainPipeline(

@@ -15,12 +15,18 @@ from typing import Optional
 
 
 class MetricsLogger:
-    def __init__(self, results_dir: str, prefix: str):
+    """Per-epoch JSONL records. Lazily truncates on the first log unless
+    ``append=True`` (resume): a fresh run otherwise inherits a crashed
+    attempt's records and the file shows duplicate epochs."""
+
+    def __init__(self, results_dir: str, prefix: str, append: bool = False):
         os.makedirs(results_dir, exist_ok=True)
         self.path = os.path.join(results_dir, f"{prefix}_metrics.jsonl")
+        self._mode = "a" if append else "w"
 
     def log(self, record: dict) -> None:
-        with open(self.path, "a") as f:
+        with open(self.path, self._mode) as f:
+            self._mode = "a"
             f.write(json.dumps(record) + "\n")
 
 
