@@ -551,6 +551,28 @@ class Trainer:
         )
 
         os.makedirs(cfg.train.results_dir, exist_ok=True)
+
+        # Preemption hook: SIGTERM (the eviction signal of every managed
+        # TPU environment) requests a graceful stop — finish the current
+        # epoch, snapshot the full state, exit cleanly. Pair with
+        # ``--resume`` to continue. The reference dies losing everything
+        # (it only saves at the very end, ``src/train.py:123-125``).
+        self._stop_requested = False
+        prev_handler = None
+        try:
+            import signal
+
+            def _request_stop(signum, frame):
+                self._stop_requested = True
+                print(
+                    "SIGTERM: will checkpoint and stop at the end of this "
+                    "epoch", flush=True,
+                )
+
+            prev_handler = signal.signal(signal.SIGTERM, _request_stop)
+        except ValueError:
+            pass  # not the main thread (e.g. driven from a test harness)
+
         last = {}
         try:
             for epoch in range(start_epoch, cfg.train.num_epochs):
@@ -622,6 +644,22 @@ class Trainer:
                     f"psnr={psnr:.3f} ssim={ssim:.4f} "
                     f"({train_metrics['images_per_sec']:.1f} img/s)"
                 )
+                if self._stop_requested:
+                    self._sync_pool_from_stacked()
+                    ckpt.wait_for_checkpoints()
+                    ckpt.save_checkpoint(
+                        cfg.train.results_dir,
+                        cfg.train.run_prefix,
+                        pool=self.pool,
+                        d_state=self.d_state,
+                        epoch=epoch + 1,
+                        model_config=cfg.model,
+                    )
+                    print(
+                        f"stopped after epoch {epoch + 1}; resume with "
+                        "--resume", flush=True,
+                    )
+                    return last
 
             self._sync_pool_from_stacked()
             ckpt.wait_for_checkpoints()  # settle in-flight periodic saves
@@ -648,6 +686,10 @@ class Trainer:
             # letting the interpreter shut down mid-serialization leaves
             # a partial checkpoint and raises from Orbax's executor.
             ckpt.wait_for_checkpoints()
+            if prev_handler is not None:
+                import signal
+
+                signal.signal(signal.SIGTERM, prev_handler)
         return last
 
 

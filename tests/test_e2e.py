@@ -154,6 +154,29 @@ class TestEndToEnd:
         # run 1 logged epochs 1,2; the resumed run logged 3,4 (not 1,2 again)
         assert epochs_logged == [1, 2, 3, 4]
 
+    def test_sigterm_checkpoints_and_stops(self, tmp_path, data_dirs):
+        """Preemption (SIGTERM) finishes the current epoch, snapshots the
+        full state, and returns cleanly — the managed-TPU eviction flow
+        the reference (end-of-run-only saving) loses everything on."""
+        import signal
+        import threading
+
+        from srgan_tpu.training import checkpoint as ckpt
+
+        train_dir, val_dir = data_dirs
+        cfg = _tiny_cfg(tmp_path, num_epochs=50)
+        trainer = Trainer(cfg, use_mesh=False)
+        threading.Timer(
+            1.0, lambda: os.kill(os.getpid(), signal.SIGTERM)
+        ).start()
+        last = trainer.train(train_dir, val_dir)
+        assert 0 < last["epoch"] < 50
+        pool, _, saved_epoch = ckpt.restore_checkpoint(
+            cfg.train.results_dir, "Training",
+            pool=trainer.pool, d_state=None,
+        )
+        assert saved_epoch == last["epoch"]
+
     def test_keep_best_snapshots_peak(self, tmp_path, data_dirs):
         """keep_best writes a <prefix>-best checkpoint that loads back into
         an Upscaler (it tracks the best-PSNR epoch, which the reference's
