@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as futures
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

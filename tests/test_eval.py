@@ -10,7 +10,7 @@ from PIL import Image
 from srgan_tpu.config import ModelConfig
 from srgan_tpu.eval.evaluation import evaluate_model
 from srgan_tpu.eval.inference import Upscaler
-from srgan_tpu.utils.image_io import array_to_image, load_image, save_image
+from srgan_tpu.utils.image_io import array_to_image, load_image
 
 
 def _make_pair_dirs(root, n=2, lr_size=(32, 24), hr_size=(128, 96)):

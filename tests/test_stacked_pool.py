@@ -16,7 +16,6 @@ from srgan_tpu.training.stacked_pool import (
     stacked_pool_step,
     unstack_states,
 )
-from srgan_tpu.training.steps import generator_pixel_step
 from srgan_tpu.training.train_state import TrainState
 
 
