@@ -367,7 +367,6 @@ def upscale_directory(
             n_ok += 1
         return n_ok
 
-    written = 0
     # Three overlapping stages on distinct resources: C++ decode of batch
     # k+1, device SR + (tunnel) fetch of batch k, C++ encode of batch k-1.
     with futures.ThreadPoolExecutor(max_workers=1) as decoder, \

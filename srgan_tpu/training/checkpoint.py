@@ -123,6 +123,36 @@ def _ondisk_generator_count(tree, default: int) -> int:
         return default
 
 
+def _ondisk_uses_legacy_remat_names(tree) -> bool:
+    """Checkpoints written before the explicit-block-name fix (when
+    ``remat=True`` let ``nn.remat``'s auto-naming produce
+    ``CheckpointResidualBlock_N`` keys) need a key-rename shim."""
+    try:
+        return any(
+            k.startswith("CheckpointResidualBlock_")
+            for k in tree["generators"][0]["params"]
+        )
+    except (KeyError, TypeError, IndexError, AttributeError):
+        return False
+
+
+def _rename_block_keys(tree, old: str, new: str):
+    """Recursively rename dict keys ``{old}<i>`` → ``{new}<i>`` at any
+    depth (params and the param-shaped Adam mu/nu trees alike)."""
+    if isinstance(tree, dict):
+        return {
+            (new + k[len(old):] if k.startswith(old) else k):
+                _rename_block_keys(v, old, new)
+            for k, v in tree.items()
+        }
+    if isinstance(tree, tuple) and hasattr(tree, "_fields"):
+        # namedtuple (e.g. optax ScaleByAdamState)
+        return type(tree)(*(_rename_block_keys(v, old, new) for v in tree))
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_rename_block_keys(v, old, new) for v in tree)
+    return tree
+
+
 def restore_checkpoint(
     results_dir: str,
     prefix: str,
@@ -171,6 +201,13 @@ def restore_checkpoint(
                 "opt_state": spare.state.opt_state,
             }
         )
+    legacy_remat = _ondisk_uses_legacy_remat_names(disk_tree)
+    if legacy_remat:
+        # Template must mirror the DISK key names; restored values are
+        # renamed back to the canonical ResidualBlock_N below.
+        gen_template = _rename_block_keys(
+            gen_template, "ResidualBlock_", "CheckpointResidualBlock_"
+        )
     meta_template = pool.snapshot()[:1] * n_disk
     template = {
         "generators": gen_template,
@@ -193,6 +230,11 @@ def restore_checkpoint(
                 is_leaf=lambda m: hasattr(m, "shape") and hasattr(m, "dtype"),
             )
     restored = ckptr.restore(path, target=template)
+    if legacy_remat:
+        restored["generators"] = _rename_block_keys(
+            restored["generators"], "CheckpointResidualBlock_",
+            "ResidualBlock_"
+        )
 
     for m, g in zip(pool.members, restored["generators"]):
         m.state = m.state.replace(params=g["params"], opt_state=g["opt_state"])
@@ -243,7 +285,12 @@ def restore_generator_params(results_dir: str, prefix: str, index: int = 0):
     path = _ckpt_dir(results_dir, prefix)
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(path)
-    return restored["generators"][index]["params"]
+    params = restored["generators"][index]["params"]
+    # legacy pre-explicit-name remat checkpoints (see
+    # _ondisk_uses_legacy_remat_names)
+    return _rename_block_keys(
+        params, "CheckpointResidualBlock_", "ResidualBlock_"
+    )
 
 
 def finetune_entry(cfg: TrainConfig) -> TrainConfig:

@@ -400,6 +400,8 @@ class Trainer:
                     )
                     d_in_packed = True  # d_loss rides this member's packed
                 elif use_gan:
+                    # multi-member pool: the d-target member must still
+                    # hand its SR to the separate D update below
                     member.state, metrics = generator_gan_step(
                         member.state,
                         self.d_state.apply_fn,
@@ -410,7 +412,7 @@ class Trainer:
                         self.vgg_apply,
                         self.vgg_params,
                         cfg.train.perceptual_weight,
-                        return_sr=False,
+                        return_sr=want_sr,
                     )
                 else:
                     member.state, metrics = generator_pixel_step(
@@ -525,9 +527,17 @@ class Trainer:
             )
             self.pool.reseed((cfg.train.seed, start_epoch))
             self._rebuild_stacked_from_pool(start_epoch)
-            # resumed run: keep the earlier epochs' records
+            # resumed run: keep the earlier epochs' records, and recover
+            # the keep_best watermark from them — a fresh -inf watermark
+            # would let the first post-resume epoch clobber the genuinely
+            # best snapshot
             self.logger = MetricsLogger(
                 cfg.train.results_dir, cfg.train.run_prefix, append=True
+            )
+            self._best_psnr = max(
+                (r.get("psnr", float("-inf"))
+                 for r in self.logger.read_records()),
+                default=float("-inf"),
             )
 
         num_shards, shard_index = process_shard_info()
@@ -559,6 +569,7 @@ class Trainer:
         # (it only saves at the very end, ``src/train.py:123-125``).
         self._stop_requested = False
         prev_handler = None
+        handler_installed = False
         try:
             import signal
 
@@ -570,6 +581,7 @@ class Trainer:
                 )
 
             prev_handler = signal.signal(signal.SIGTERM, _request_stop)
+            handler_installed = True
         except ValueError:
             pass  # not the main thread (e.g. driven from a test harness)
 
@@ -686,10 +698,17 @@ class Trainer:
             # letting the interpreter shut down mid-serialization leaves
             # a partial checkpoint and raises from Orbax's executor.
             ckpt.wait_for_checkpoints()
-            if prev_handler is not None:
+            if handler_installed:
                 import signal
 
-                signal.signal(signal.SIGTERM, prev_handler)
+                # prev_handler may be None when the prior disposition was
+                # installed outside Python — fall back to the default
+                # rather than leaving our closure installed forever
+                signal.signal(
+                    signal.SIGTERM,
+                    prev_handler if prev_handler is not None
+                    else signal.SIG_DFL,
+                )
         return last
 
 

@@ -29,6 +29,13 @@ class MetricsLogger:
             self._mode = "a"
             f.write(json.dumps(record) + "\n")
 
+    def read_records(self) -> list:
+        """Existing records on disk (empty when the file is absent)."""
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
 
 class Throughput:
     """images/sec over a window — the BASELINE headline metric."""

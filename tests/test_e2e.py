@@ -164,13 +164,19 @@ class TestEndToEnd:
         from srgan_tpu.training import checkpoint as ckpt
 
         train_dir, val_dir = data_dirs
-        cfg = _tiny_cfg(tmp_path, num_epochs=50)
+        cfg = _tiny_cfg(tmp_path, num_epochs=500)
         trainer = Trainer(cfg, use_mesh=False)
-        threading.Timer(
-            1.0, lambda: os.kill(os.getpid(), signal.SIGTERM)
-        ).start()
-        last = trainer.train(train_dir, val_dir)
-        assert 0 < last["epoch"] < 50
+        timer = threading.Timer(
+            0.5, lambda: os.kill(os.getpid(), signal.SIGTERM)
+        )
+        timer.start()
+        try:
+            last = trainer.train(train_dir, val_dir)
+        finally:
+            # never let an un-fired SIGTERM land after train() restored
+            # the default handler — it would kill the pytest process
+            timer.cancel()
+        assert 0 < last["epoch"] < 500
         pool, _, saved_epoch = ckpt.restore_checkpoint(
             cfg.train.results_dir, "Training",
             pool=trainer.pool, d_state=None,
@@ -242,6 +248,89 @@ class TestEndToEnd:
         assert np.isfinite(last["g_loss"])
         assert np.isfinite(last["d_loss"]) and last["d_loss"] != 0.0
         assert last["g_d_loss"] != 0.0  # adversarial fine-tune was live
+
+    def test_unstacked_multi_member_gan_pool(self, tmp_path, data_dirs):
+        """Sequential (stacked=False) pool with >=2 members + GAN: the
+        d-target member's step must still hand its SR to the shared D
+        update (regression: gating the fused step on pool-size 1 dropped
+        return_sr and crashed discriminator_step_on_sr with sr=None)."""
+        train_dir, val_dir = data_dirs
+        base = _tiny_cfg(tmp_path, hr=64, num_epochs=1, use_gan=True)
+        cfg = Config(
+            model=base.model, data=base.data, train=base.train,
+            discriminator=DiscriminatorConfig(num_filters=8, num_stages=2),
+            pool=PoolConfig(
+                num_generators=2, stacked=False, starting_gan_loss=1e9,
+                p_gan_above=1.0, p_gan_leader=1.0,
+            ),
+        )
+        last = Trainer(cfg, use_mesh=False).train(train_dir, val_dir)
+        assert np.isfinite(last["d_loss"]) and last["d_loss"] != 0.0
+
+    def test_legacy_remat_checkpoint_restores(self, tmp_path, data_dirs):
+        """Checkpoints written before the explicit-block-name fix carry
+        CheckpointResidualBlock_N keys; the restore shim renames them so
+        old runs stay loadable."""
+        import jax
+
+        from srgan_tpu.training import checkpoint as ckpt
+        from srgan_tpu.training.checkpoint import _rename_block_keys
+
+        train_dir, val_dir = data_dirs
+        cfg = _tiny_cfg(tmp_path, num_epochs=1)
+        t1 = Trainer(cfg, use_mesh=False)
+        # simulate a legacy save: rename block keys in params + Adam trees
+        legacy = _rename_block_keys(
+            {
+                "params": t1.pool.members[0].state.params,
+                "opt": t1.pool.members[0].state.opt_state,
+            },
+            "ResidualBlock_", "CheckpointResidualBlock_",
+        )
+        t1.pool.members[0].state = t1.pool.members[0].state.replace(
+            params=legacy["params"], opt_state=legacy["opt"]
+        )
+        ckpt.save_checkpoint(
+            cfg.train.results_dir, "Training",
+            pool=t1.pool, d_state=None, epoch=1, model_config=cfg.model,
+        )
+
+        t2 = Trainer(cfg, use_mesh=False)
+        pool, _, epoch = ckpt.restore_checkpoint(
+            cfg.train.results_dir, "Training",
+            pool=t2.pool, d_state=None,
+        )
+        assert epoch == 1
+        got = jax.tree.leaves(pool.members[0].state.params)[0]
+        want = jax.tree.leaves(legacy["params"])[0]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert any(
+            k.startswith("ResidualBlock_")
+            for k in pool.members[0].state.params
+        )
+
+    def test_keep_best_watermark_survives_resume(self, tmp_path, data_dirs):
+        """--keep-best + --resume: the watermark recovers from the metrics
+        records, so a post-resume epoch below the historic peak must NOT
+        clobber the -best snapshot."""
+        train_dir, val_dir = data_dirs
+        cfg = _tiny_cfg(
+            tmp_path, num_epochs=1, keep_best=True, checkpoint_every=1
+        )
+        Trainer(cfg, use_mesh=False).train(train_dir, val_dir)
+        # doctor the history with an unbeatable peak
+        with open(
+            os.path.join(cfg.train.results_dir, "Training_metrics.jsonl"),
+            "a",
+        ) as f:
+            f.write(json.dumps({"epoch": 1, "psnr": 999.0}) + "\n")
+
+        cfg2 = _tiny_cfg(
+            tmp_path, num_epochs=2, keep_best=True, checkpoint_every=1
+        )
+        t2 = Trainer(cfg2, use_mesh=False)
+        t2.train(train_dir, val_dir, resume=True)
+        assert t2._best_psnr == 999.0  # epoch 2's real PSNR did not clobber
 
     def test_pool_grows_across_phases(self, tmp_path, data_dirs):
         """Pixel-train ONE generator, GAN-fine-tune a 3-member pool: the
