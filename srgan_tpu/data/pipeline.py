@@ -42,6 +42,7 @@ from srgan_tpu.data.dataset import (
     split_indices,
 )
 from srgan_tpu.ops.resize import gather_prepare_batch, prepare_batch
+from srgan_tpu.parallel.mesh import put_global
 
 
 class EpochSampler:
@@ -71,7 +72,14 @@ class EpochSampler:
             len(self.indices)
         )
         shuffled = self.indices[perm]
-        return shuffled[self.shard_index :: self.num_shards]
+        if self.num_shards == 1:
+            return shuffled
+        # Equal length on every shard: multi-host steps are collective —
+        # one host running an extra batch would deadlock the others — so
+        # shards truncate to the common floor (DistributedSampler instead
+        # pads with duplicates; either keeps ranks in lockstep).
+        per_shard = len(shuffled) // self.num_shards
+        return shuffled[self.shard_index :: self.num_shards][:per_shard]
 
 
 class HostBatcher:
@@ -146,13 +154,8 @@ def _device_prefetch(
     """Keep ``depth`` batches in flight on device (double buffering)."""
     queue: collections.deque = collections.deque()
 
-    def put(batch):
-        if sharding is not None:
-            return jax.device_put(batch, sharding)
-        return jax.device_put(batch)
-
     for batch in iterator:
-        queue.append(put(batch))
+        queue.append(put_global(batch, sharding))
         if len(queue) >= depth:
             yield queue.popleft()
     while queue:
@@ -224,7 +227,10 @@ class TrainPipeline:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = NamedSharding(self.sharding.mesh, P())
-            self._device_dataset = jax.device_put(rows, repl)
+            # put_global handles the multi-process case: every host decodes
+            # the full dataset (decode_many(all_idx) above), so each can
+            # supply the complete replicated value.
+            self._device_dataset = put_global(rows, repl)
         else:
             self._device_dataset = jax.device_put(rows)
         return self._device_dataset
@@ -244,9 +250,29 @@ class TrainPipeline:
         indices = self.sampler.epoch_indices(epoch)
         rows = self._row_of[indices]
         rows = rows[rows >= 0]  # corrupt-file skip
+        multiprocess = jax.process_count() > 1
+        if multiprocess:
+            # Corrupt files may fall unevenly across shards; hosts must run
+            # identical batch counts (collective steps), so truncate every
+            # shard to the global minimum. One tiny allgather per epoch.
+            from jax.experimental import multihost_utils
+
+            counts = np.asarray(
+                multihost_utils.process_allgather(
+                    np.asarray([len(rows)], np.int32)
+                )
+            )
+            rows = rows[: int(counts.min())]
         b = self.cfg.batch_size
         for step in range(len(rows) // b):
-            idx = jnp.asarray(rows[step * b : (step + 1) * b])
+            chunk = rows[step * b : (step + 1) * b]
+            if multiprocess:
+                # Global batch-sharded gather indices: each host's rows land
+                # on its devices; the gather of the replicated HBM cache is
+                # then communication-free under GSPMD.
+                idx = put_global(chunk, self.sharding)
+            else:
+                idx = jnp.asarray(chunk)
             step_key = jax.random.fold_in(key, step)
             hr, lr = gather_prepare_batch(
                 dataset, idx, step_key,
@@ -256,7 +282,7 @@ class TrainPipeline:
                 pepper_prob=self.cfg.pepper_prob,
                 spot_size=self.cfg.sp_spot_size,
             )
-            if self.sharding is not None:
+            if self.sharding is not None and not multiprocess:
                 hr = jax.device_put(hr, self.sharding)
                 lr = jax.device_put(lr, self.sharding)
             yield hr, lr

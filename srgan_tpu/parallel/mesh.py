@@ -44,9 +44,60 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Multi-process: ``jax.device_put`` cannot target non-addressable devices,
+    so each leaf is assembled into a global fully-replicated array from this
+    process's (identical, same-seed) host copy via
+    ``jax.make_array_from_process_local_data``."""
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.device_put(tree, sharding)
+
+
+def put_global(batch, sharding: Optional[NamedSharding]):
+    """Lay a host-local numpy batch out over a (possibly multi-process) mesh.
+
+    Single-process: plain ``jax.device_put``. Multi-process: this host's
+    rows become its block of the global batch-sharded array (the global
+    batch is the concatenation of all hosts' local batches — the
+    ``DistributedSampler`` per-rank-batch semantics, ``src/train.py:90-95``).
+    """
+    if sharding is None:
+        return jax.device_put(batch)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(batch)
+        )
+    return jax.device_put(batch, sharding)
+
+
+def host_local_rows(arr) -> np.ndarray:
+    """This host's rows of a (possibly) batch-sharded global array.
+
+    Single-process / fully-addressable arrays fetch whole. Multi-process
+    batch-sharded arrays return the process-local block in row order —
+    the per-rank view, matching the reference's per-rank validation
+    artifacts (``src/train.py:233-260``)."""
+    if getattr(arr, "is_fully_addressable", True) or arr.is_fully_replicated:
+        return np.asarray(arr)
+    seen = set()
+    rows = []
+    for s in sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    ):
+        start = s.index[0].start or 0
+        if start in seen:
+            continue  # replicated copy of a block already collected
+        seen.add(start)
+        rows.append(np.asarray(s.data))
+    return np.concatenate(rows)
 
 
 def initialize_multihost(**kwargs) -> None:
@@ -62,17 +113,35 @@ def process_shard_info() -> tuple:
     return jax.process_count(), jax.process_index()
 
 
+_NO_REDUCE_KEYS = ("epoch",)  # identical across hosts by construction
+
+
+def _reducible(key: str, value) -> bool:
+    """True for the numeric scalars that cross-host aggregation averages:
+    python/numpy floats AND ints (``n_batches``-style counters included),
+    excluding bools and the epoch counter."""
+    if key in _NO_REDUCE_KEYS or isinstance(value, bool):
+        return False
+    return isinstance(value, (int, float, np.floating, np.integer))
+
+
 def combine_host_metrics(per_host: list) -> dict:
-    """Merge per-host metric dicts: finite scalars are averaged across
-    hosts, everything else (epoch counters, pool snapshots, strings) is
-    taken from host 0 verbatim."""
+    """Merge per-host metric dicts: finite numeric scalars (floats and int
+    counters alike) are averaged across hosts; everything else (the epoch
+    counter, pool snapshots, strings) is taken from host 0 verbatim.
+    Int-typed values whose mean is integral stay ints (hosts run equal
+    batch counts by construction — ``EpochSampler`` truncates shards to a
+    common length)."""
     base = per_host[0]
     out = dict(base)
     for k, v in base.items():
-        if not isinstance(v, float):
+        if not _reducible(k, v):
             continue
-        vals = [h[k] for h in per_host if k in h]
-        out[k] = float(np.mean([x for x in vals if np.isfinite(x)] or [v]))
+        vals = [float(h[k]) for h in per_host if k in h]
+        mean = float(np.mean([x for x in vals if np.isfinite(x)] or [v]))
+        if isinstance(v, (int, np.integer)) and mean.is_integer():
+            mean = int(mean)
+        out[k] = mean
     return out
 
 
@@ -88,14 +157,23 @@ def reduce_metrics(metrics: dict) -> dict:
         return dict(metrics)
     from jax.experimental import multihost_utils
 
-    keys = sorted(
-        k for k, v in metrics.items()
-        if isinstance(v, float) and not isinstance(v, bool)
-    )
-    vec = np.asarray([metrics[k] for k in keys], np.float32)
+    keys = sorted(k for k, v in metrics.items() if _reducible(k, v))
+    # float32: x64 is disabled by default and process_allgather would
+    # downcast anyway; int counters (small) are exact in float32.
+    vec = np.asarray([float(metrics[k]) for k in keys], np.float32)
     gathered = np.asarray(multihost_utils.process_allgather(vec))  # (P, K)
     per_host = [
-        {**metrics, **{k: float(row[i]) for i, k in enumerate(keys)}}
+        {
+            **metrics,
+            **{
+                k: (
+                    int(row[i])
+                    if isinstance(metrics[k], (int, np.integer))
+                    else float(row[i])
+                )
+                for i, k in enumerate(keys)
+            },
+        }
         for row in gathered
     ]
     return combine_host_metrics(per_host)

@@ -67,9 +67,17 @@ def save_checkpoint(
     ``src/evaluation.py:23``)."""
     path = _ckpt_dir(results_dir, prefix)
     if model_config is not None:
-        os.makedirs(results_dir, exist_ok=True)
-        with open(os.path.join(results_dir, f"{prefix}_model.json"), "w") as f:
-            json.dump(dataclasses.asdict(model_config), f, indent=2)
+        import jax
+
+        # Orbax coordinates the array writes across processes itself (every
+        # process must call save), but the JSON sidecar is a plain file —
+        # host 0 writes it alone to avoid a same-path race on shared storage.
+        if jax.process_index() == 0:
+            os.makedirs(results_dir, exist_ok=True)
+            with open(
+                os.path.join(results_dir, f"{prefix}_model.json"), "w"
+            ) as f:
+                json.dump(dataclasses.asdict(model_config), f, indent=2)
     payload = {
         "generators": [
             {"params": m.state.params, "opt_state": m.state.opt_state}

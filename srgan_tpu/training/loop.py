@@ -35,6 +35,7 @@ from srgan_tpu.models.srresnet import init_generator
 from srgan_tpu.ops.resize import resize_bilinear
 from srgan_tpu.parallel.mesh import (
     batch_sharding,
+    host_local_rows,
     make_mesh,
     process_shard_info,
     replicate,
@@ -116,7 +117,9 @@ class Trainer:
             from srgan_tpu.models.vgg import init_vgg_extractor
 
             vgg_model, vgg_params = init_vgg_extractor(
-                keys[-2], layers=tuple(cfg.train.vgg_layers)
+                keys[-2],
+                layers=tuple(cfg.train.vgg_layers),
+                weights_npz=cfg.train.vgg_weights_npz,
             )
             if self.mesh:
                 vgg_params = replicate(self.mesh, vgg_params)
@@ -131,11 +134,38 @@ class Trainer:
                 [m.state for m in members], cfg.pool, seed=cfg.train.seed
             )
 
-        self.logger = MetricsLogger(cfg.train.results_dir, cfg.train.run_prefix)
+        self.logger = MetricsLogger(cfg.train.results_dir, self._log_prefix())
         self.throughput = Throughput()
         self.history = {"epochs": [], "psnr": [], "ssim": []}
 
     # ------------------------------------------------------------------ #
+
+    def _log_prefix(self) -> str:
+        """Metrics-JSONL prefix: plain on host 0, rank-suffixed elsewhere —
+        per-rank logs like the reference's per-rank curves/checkpoints
+        (``src/train.py:123-137``) without two hosts racing on one file."""
+        r = jax.process_index()
+        prefix = self.cfg.train.run_prefix
+        return prefix if r == 0 else f"{prefix}_rank{r}"
+
+    def _replicate_states(self):
+        """Re-lay restored states out over the mesh. A checkpoint restore
+        materializes plain process-local arrays; on a multi-process mesh
+        the train steps need global (fully-replicated) params/opt-state —
+        every host restored identical values, so each supplies its own copy
+        (``parallel.mesh.replicate``). Single-process: a cheap re-put."""
+        if self.mesh is None:
+            return
+        for m in self.pool.members:
+            m.state = m.state.replace(
+                params=replicate(self.mesh, m.state.params),
+                opt_state=replicate(self.mesh, m.state.opt_state),
+            )
+        if self.d_state is not None:
+            self.d_state = self.d_state.replace(
+                params=replicate(self.mesh, self.d_state.params),
+                opt_state=replicate(self.mesh, self.d_state.opt_state),
+            )
 
     def _leader(self):
         """(apply_fn, params) of the current best generator."""
@@ -476,10 +506,13 @@ class Trainer:
         for hr, lr_imgs in val_pipeline.epoch(epoch, key):
             sr = infer_step(apply_fn, params, lr_imgs)
             lr_up = resize_bilinear(lr_imgs, (hr.shape[1], hr.shape[2]))
+            # host_local_rows: on a multi-process mesh each host renders the
+            # grid of ITS batch rows — the reference's per-rank comparison
+            # PNGs (``src/train.py:233-260``, rank-suffixed files).
             return save_comparison(
-                np.asarray(lr_up),
-                np.asarray(sr),
-                np.asarray(hr),
+                host_local_rows(lr_up),
+                host_local_rows(sr),
+                host_local_rows(hr),
                 self.cfg.train.results_dir,
                 self.cfg.train.run_prefix,
                 epoch,
@@ -515,9 +548,10 @@ class Trainer:
                 d_state=self.d_state,
             )
             self.pool.reseed((cfg.train.seed, saved_epoch))
+            self._replicate_states()
             self._rebuild_stacked_from_pool(saved_epoch)
             self.cfg = cfg = cfg.replace(train=ckpt.finetune_entry(cfg.train))
-            self.logger = MetricsLogger(cfg.train.results_dir, cfg.train.run_prefix)
+            self.logger = MetricsLogger(cfg.train.results_dir, self._log_prefix())
         elif resume:
             self.pool, self.d_state, start_epoch = ckpt.restore_checkpoint(
                 cfg.train.results_dir,
@@ -526,13 +560,14 @@ class Trainer:
                 d_state=self.d_state,
             )
             self.pool.reseed((cfg.train.seed, start_epoch))
+            self._replicate_states()
             self._rebuild_stacked_from_pool(start_epoch)
             # resumed run: keep the earlier epochs' records, and recover
             # the keep_best watermark from them — a fresh -inf watermark
             # would let the first post-resume epoch clobber the genuinely
             # best snapshot
             self.logger = MetricsLogger(
-                cfg.train.results_dir, cfg.train.run_prefix, append=True
+                cfg.train.results_dir, self._log_prefix(), append=True
             )
             self._best_psnr = max(
                 (r.get("psnr", float("-inf"))

@@ -101,12 +101,21 @@ class TestSampler:
         permutation exactly (multi-host consistency, VERDICT r1 #9)."""
         idx = np.arange(57)  # non-divisible length
         num_shards = 4
+        per_shard = len(idx) // num_shards
         global_perm = EpochSampler(idx, seed=9).epoch_indices(2)
+        shards = []
         for r in range(num_shards):
             shard = EpochSampler(
                 idx, num_shards=num_shards, shard_index=r, seed=9
             ).epoch_indices(2)
-            assert np.array_equal(shard, global_perm[r::num_shards])
+            # strided slice of the global permutation, truncated to the
+            # common floor: multi-host steps are collectives, so every
+            # host must run the SAME batch count (r3 multi-process rule)
+            assert np.array_equal(
+                shard, global_perm[r::num_shards][:per_shard]
+            )
+            shards.append(shard)
+        assert len({len(s) for s in shards}) == 1
 
     def test_split_indices(self):
         tr, val = split_indices(10, 0.7, seed=1)
