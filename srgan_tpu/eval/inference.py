@@ -21,6 +21,23 @@ from srgan_tpu.training.steps import infer_step
 from srgan_tpu.utils.image_io import load_image, save_image
 
 
+def to_float01(image: np.ndarray) -> np.ndarray:
+    """Input-range normalization for inference entry points.
+
+    uint8 input is ALWAYS /255 — branching on dtype, not values: a
+    legitimately dark uint8 frame (every pixel ≤ 1) must not be mistaken
+    for float [0, 1] data and SR'd at the wrong scale. Float inputs keep a
+    value-range heuristic (max > 1.5 → 0-255-range floats from callers
+    that converted without scaling)."""
+    arr = np.asarray(image)
+    if arr.dtype == np.uint8:
+        return arr.astype(np.float32) / 255.0
+    arr = arr.astype(np.float32)
+    if arr.max() > 1.5:
+        arr = arr / 255.0
+    return arr
+
+
 class Upscaler:
     """Holds a generator (params + apply) and runs jit'd SR inference.
 
@@ -89,10 +106,9 @@ class Upscaler:
         return cls(SRResNet.from_config(cfg), params, **kw)
 
     def upscale(self, image: np.ndarray) -> np.ndarray:
-        """HWC (or NHWC) image in [0, 1] → upscaled HWC float32 in [0, 1]."""
-        arr = np.asarray(image, dtype=np.float32)
-        if arr.max() > 1.5:  # uint8-range input
-            arr = arr / 255.0
+        """HWC (or NHWC) image in [0, 1] (uint8 accepted) → upscaled HWC
+        float32 in [0, 1]."""
+        arr = to_float01(image)
         batched = arr[None] if arr.ndim == 3 else arr
         if self.mesh is not None:
             sr = self._upscale_sharded(batched)
@@ -113,9 +129,7 @@ class Upscaler:
         epilogue runs inside the same executable)."""
         from srgan_tpu.training.steps import infer_step_u8
 
-        arr = np.asarray(image, dtype=np.float32)
-        if arr.max() > 1.5:
-            arr = arr / 255.0
+        arr = to_float01(image)
         batched = arr[None] if arr.ndim == 3 else arr
         if self.mesh is not None:
             out = np.asarray(self._upscale_sharded(batched, u8=True))
@@ -198,9 +212,7 @@ class Upscaler:
         so a wall-poster input that could never fit the direct path streams
         through in constant HBM.
         """
-        arr = np.asarray(image, dtype=np.float32)
-        if arr.max() > 1.5:  # uint8-range input
-            arr = arr / 255.0
+        arr = to_float01(image)
         if arr.ndim != 3:
             raise ValueError("upscale_tiled expects a single HWC image")
         if overlap >= tile:
@@ -209,9 +221,18 @@ class Upscaler:
         s = self.model.upscale_factor
 
         # Reflect-pad up to at least one tile so tiny images still work.
+        # numpy's reflect mode caps each pad at (dim - 1); images much
+        # smaller than the tile pad iteratively (mirror-tiling the content).
         ph, pw = max(tile - h, 0), max(tile - w, 0)
-        if ph or pw:
-            arr = np.pad(arr, ((0, ph), (0, pw), (0, 0)), mode="reflect")
+        while ph or pw:
+            dh = min(ph, arr.shape[0] - 1)
+            dw = min(pw, arr.shape[1] - 1)
+            if dh == 0 and dw == 0:  # degenerate 1-pixel extent: replicate
+                arr = np.pad(arr, ((0, ph), (0, pw), (0, 0)), mode="edge")
+                break
+            arr = np.pad(arr, ((0, dh), (0, dw), (0, 0)), mode="reflect")
+            ph -= dh
+            pw -= dw
         hp, wp, _ = arr.shape
 
         stride = tile - overlap
@@ -255,6 +276,18 @@ class Upscaler:
             batch = np.stack(
                 [arr[y : y + tile, x : x + tile] for y, x in chunk]
             )
+            if len(chunk) < batch_size:
+                # Pad partial chunks to the full batch shape so the tiled
+                # path compiles exactly ONE executable regardless of image
+                # size (a short chunk would otherwise trigger a new trace
+                # per distinct tile count — O(#sizes) compiles again);
+                # padding rows repeat tile 0 and are dropped below. Callers
+                # tiling many small images should pick a small batch_size:
+                # the padding waste is bounded by batch_size/1.
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[:1],
+                                      batch_size - len(chunk), axis=0)]
+                )
             sr = self.upscale(batch)  # one executable: static tile shape
             for (y, x), out in zip(chunk, sr):
                 win = np.outer(
@@ -285,23 +318,35 @@ def upscale_directory(
     batch_size: int = 8,
     upscaler: Optional[Upscaler] = None,
     mesh=None,
+    min_bucket_for_direct: int = 4,
+    tile: int = 256,
+    tile_batch: int = 4,
+    tile_overlap: int = 16,
 ) -> int:
     """Batch-serving path: super-resolve every image in a folder.
 
     Streaming, O(batch) host memory: a first header-only pass buckets
-    filenames by image size (each distinct input size compiles one
-    executable — images from one camera or dataset usually share a size, so
-    typically one compile total), then each bucket streams through in
-    device batches with the NEXT batch decoding on the native C++ thread
-    pool (GIL released) while the current one runs on the TPU. Outputs are
-    written by the native threaded encoder when built (the serving
-    counterpart of the threaded decoder — single-threaded PIL PNG encode
-    caps the pipeline well below TPU SR rates); PIL fallback for both
-    directions. Unreadable/corrupt files are skipped, like the training
-    loader. Returns the number of images written.
+    filenames by image size. Buckets with at least ``min_bucket_for_direct``
+    files take the direct batched path (one compile per such size — images
+    from one camera or dataset usually share a size, so typically one
+    compile total), with the NEXT batch decoding on the native C++ thread
+    pool (GIL released) while the current one runs on the TPU. Smaller
+    buckets — the ad-hoc-photo folder of the reference's ``src/main.py``
+    workload, where every file can be a distinct size — route through
+    :meth:`Upscaler.upscale_tiled` instead, which serves EVERY size with one
+    shared fixed-shape tile executable: a folder of N distinct-size photos
+    compiles O(1) executables, not O(N). Outputs are written by the native
+    threaded encoder when built (the serving counterpart of the threaded
+    decoder — single-threaded PIL PNG encode caps the pipeline well below
+    TPU SR rates); PIL fallback for both directions, and a file failing
+    both encoders is skipped with a warning rather than aborting the job.
+    Unreadable/corrupt inputs are skipped, like the training loader.
+    Returns the number of images written; a compile/coverage summary is
+    printed at the end.
     """
     import collections
     import os
+    import sys
     from concurrent import futures
 
     from PIL import Image as PILImage
@@ -351,6 +396,16 @@ def upscale_directory(
             if img.shape[:2] == (h, w):
                 imgs.append(img)
                 names.append(f)
+            else:
+                # Header pass said (h, w) but the pixel decode disagrees
+                # (e.g. EXIF-rotated JPEG): the file can't join this
+                # fixed-shape batch — skip VISIBLY so the caller can
+                # account for it (ADVICE r2: silent drops hide files).
+                print(
+                    f"warning: {f}: decoded shape {img.shape[:2]} != "
+                    f"header {(h, w)}; skipped",
+                    file=sys.stderr,
+                )
         return (np.stack(imgs) if imgs else
                 np.zeros((0, h, w, 3), np.float32)), names
 
@@ -363,8 +418,18 @@ def upscale_directory(
         else:
             fails = range(len(out_paths))
         for j in fails:  # exotic extension / no native: PIL fallback
-            PILImage.fromarray(sr_u8[j]).save(out_paths[j])
-            n_ok += 1
+            # Mirror the decode side's skip-and-continue policy: one
+            # unwritable file (bad extension, disk error) must not abort
+            # the remaining batches (ADVICE r2).
+            try:
+                PILImage.fromarray(sr_u8[j]).save(out_paths[j])
+                n_ok += 1
+            except Exception as e:
+                print(
+                    f"warning: failed to encode {out_paths[j]}: {e}; "
+                    "skipped",
+                    file=sys.stderr,
+                )
         return n_ok
 
     # Three overlapping stages on distinct resources: C++ decode of batch
@@ -384,7 +449,19 @@ def upscale_directory(
                 written += writes.pop(0).result()
             writes.append(writer.submit(write_batch, sr_u8, out_paths))
 
-        for (h, w), fnames in buckets.items():
+        direct = {
+            hw: fnames
+            for hw, fnames in buckets.items()
+            if len(fnames) >= min_bucket_for_direct
+        }
+        odd = [
+            (hw, f)
+            for hw, fnames in buckets.items()
+            if len(fnames) < min_bucket_for_direct
+            for f in fnames
+        ]
+
+        for (h, w), fnames in direct.items():
             chunks = [
                 fnames[i : i + batch_size]
                 for i in range(0, len(fnames), batch_size)
@@ -401,5 +478,29 @@ def upscale_directory(
                 sr_u8 = upscaler.upscale_u8(batch)
                 out_paths = [os.path.join(output_dir, f) for f in names]
                 submit_write(sr_u8, out_paths)
+
+        # Odd sizes (bucket smaller than min_bucket_for_direct): ONE shared
+        # fixed-shape tile executable serves them all — no per-size compile.
+        for (h, w), fname in odd:
+            batch, names = decode(h, w, [fname])
+            if not len(batch):
+                continue
+            sr = upscaler.upscale_tiled(
+                batch[0], tile=tile, batch_size=tile_batch,
+                overlap=min(tile_overlap, tile // 2),
+            )
+            # host-side quantization, bit-matching infer_step_u8's formula
+            sr_u8 = np.floor(np.clip(sr, 0.0, 1.0) * 255.0 + 0.5).astype(
+                np.uint8
+            )[None]
+            submit_write(sr_u8, [os.path.join(output_dir, names[0])])
+
         written += sum(w.result() for w in writes)
+    if odd or len(direct) > 1:
+        print(
+            f"upscale_directory: {len(direct)} direct size bucket(s), "
+            f"{len(odd)} odd-size file(s) via the shared tile executable "
+            f"(≤ {len(direct) + 1} SR compiles total)",
+            file=sys.stderr,
+        )
     return written
