@@ -31,12 +31,21 @@ def _add_train(sub):
                    help="discriminator conv/pool stages (4 = reference "
                         "parity, needs >=428px inputs; fewer stages give a "
                         "shallower patch critic for smaller images)")
+    p.add_argument("--vgg-weights", default=None, metavar="NPZ",
+                   help="pretrained VGG19 feature weights (.npz exported "
+                        "via vgg.export_torch_vgg19_to_npz; torch-free). "
+                        "Without it --perceptual falls back to RANDOM "
+                        "features and warns")
     p.add_argument("--perceptual", type=float, default=0.0, metavar="WEIGHT",
                    help="VGG19 perceptual-loss weight, 0 = off (the "
                         "reference's disabled utils.py:154-166 path; "
                         "pretrained torchvision weights are ported from a "
                         "local cache when present)")
     p.add_argument("--starting-gan-loss", type=float, default=0.05)
+    p.add_argument("--pre-loss-gate", action="store_true",
+                   help="modulate P(GAN) by own loss vs last epoch's "
+                        "pre_loss snapshot (readme.md:5 clause; off = EMA "
+                        "interpretation, pre_loss is telemetry)")
     p.add_argument("--continue-training", action="store_true",
                    help="fine-tune phase: reload checkpoint, LR/5, "
                         "Post-Training prefix (train.py:51-59)")
@@ -193,6 +202,7 @@ def main(argv=None):
             pool=PoolConfig(
                 num_generators=args.num_generators,
                 starting_gan_loss=args.starting_gan_loss,
+                pre_loss_gate=args.pre_loss_gate,
             ),
             train=TrainConfig(
                 num_epochs=args.epochs,
@@ -200,6 +210,7 @@ def main(argv=None):
                 lr_discriminator=args.lr_discriminator,
                 use_gan=args.gan,
                 perceptual_weight=args.perceptual,
+                vgg_weights_npz=args.vgg_weights,
                 validate_every=args.validate_every,
                 results_dir=args.results_dir,
                 run_prefix=args.prefix,

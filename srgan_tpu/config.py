@@ -139,6 +139,20 @@ class PoolConfig:
     # members so it sees the whole pool's output distribution (same cost —
     # still one D step per batch).
     d_train_target: str = "leader"  # "leader" | "round_robin"
+    # pre_loss-relative modulation of P(GAN) (``readme.md:5``: each model
+    # "compares its own contrastive loss with pre_loss to decide the
+    # probability of using GAN"). When on, a member whose running loss
+    # IMPROVED since the last epoch-end snapshot (loss < pre_loss) scales
+    # its P(GAN) by ``pre_loss_boost`` — pixel progress secured, spend
+    # batches on adversarial texture; a member that REGRESSED
+    # (loss >= pre_loss) scales by ``pre_loss_damp`` — fall back toward
+    # pixel updates. Off (default), pre_loss is telemetry only and the
+    # gate reads the EMA loss alone — the interpretation that the EMA
+    # already encodes the own-vs-recent-past comparison the README asks
+    # for. Both readings are documented at the gate sites.
+    pre_loss_gate: bool = False
+    pre_loss_boost: float = 1.5
+    pre_loss_damp: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -182,6 +196,11 @@ class TrainConfig:
     perceptual_weight: float = 0.0
     # Feature taps for the perceptual loss (``train.py:49``).
     vgg_layers: Tuple[str, ...] = ("conv3_3", "conv4_3")
+    # Torch-free pretrained VGG19 weights (.npz from
+    # ``vgg.export_torch_vgg19_to_npz``). None → try the torchvision cache,
+    # else fall back to random features WITH a runtime warning
+    # (``models/vgg.py:init_vgg_extractor``).
+    vgg_weights_npz: Optional[str] = None
     validate_every: int = 5
     score_max_batches: int = 30  # compute_score cap (``train.py:271-272``)
     results_dir: str = "results"

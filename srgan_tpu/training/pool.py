@@ -87,17 +87,43 @@ class GeneratorPool:
 
     def gan_probability(self, index: int) -> float:
         """P(GAN update) for pool member ``index`` this batch — the two-regime
-        gate of ``readme.md:10`` with PoolConfig's pinned probabilities."""
+        gate of ``readme.md:10`` with PoolConfig's pinned probabilities.
+
+        ``pre_loss`` (``readme.md:5``): with ``cfg.pre_loss_gate`` the base
+        probability is modulated by own-loss vs last epoch's snapshot —
+        boosted when improving, damped when regressing (see
+        :meth:`_pre_loss_factor`). With the gate off (default) the EMA
+        running loss alone drives the regimes: the EMA already compares
+        recent batches against the past, which is this implementation's
+        default reading of the README's own-loss-vs-pre_loss clause;
+        ``pre_loss`` then stays pure telemetry."""
         m = self.members[index]
         if not np.isfinite(m.running_loss):
             return 0.0  # no signal yet → pixel phase
         if m.running_loss > self.cfg.starting_gan_loss:
-            return self.cfg.p_gan_above
-        if index == 0:
-            return self.cfg.p_gan_leader
-        if m.running_loss > self.min_loss():
-            return self.cfg.p_gan_follower
-        return self.cfg.p_gan_leader
+            p = self.cfg.p_gan_above
+        elif index == 0:
+            p = self.cfg.p_gan_leader
+        elif m.running_loss > self.min_loss():
+            p = self.cfg.p_gan_follower
+        else:
+            p = self.cfg.p_gan_leader
+        return min(1.0, p * self._pre_loss_factor(m.running_loss, m.pre_loss))
+
+    def _pre_loss_factor(self, running_loss: float, pre_loss: float) -> float:
+        """The opt-in pre_loss modulation (``readme.md:5``): improved since
+        the last epoch snapshot → ``pre_loss_boost``; regressed →
+        ``pre_loss_damp``. 1.0 while the gate is off or before the first
+        epoch-end snapshot exists. The product is clamped to [0, 1] by the
+        caller's Bernoulli draw semantics (probabilities above 1 behave as
+        certainty)."""
+        if not self.cfg.pre_loss_gate or not np.isfinite(pre_loss):
+            return 1.0
+        return (
+            self.cfg.pre_loss_boost
+            if running_loss < pre_loss
+            else self.cfg.pre_loss_damp
+        )
 
     def reseed(self, seed) -> None:
         """Re-key the scheduler RNG (after a checkpoint restore, with the

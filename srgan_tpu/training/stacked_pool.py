@@ -279,6 +279,9 @@ class StackedGeneratorPool:
     # -- scheduler (same regimes as GeneratorPool.gan_probability) -------- #
 
     def gan_probabilities(self) -> np.ndarray:
+        """Per-member P(GAN) — same regimes (and same opt-in pre_loss
+        modulation, ``readme.md:5``) as ``GeneratorPool.gan_probability``;
+        see that docstring for the pre_loss interpretation note."""
         p = np.zeros(self.n)
         finite = np.isfinite(self.running_loss)
         if not finite.any():
@@ -295,6 +298,14 @@ class StackedGeneratorPool:
                 p[i] = self.cfg.p_gan_follower
             else:
                 p[i] = self.cfg.p_gan_leader
+        if self.cfg.pre_loss_gate:
+            has_snap = np.isfinite(self.pre_loss)
+            factor = np.where(
+                self.running_loss < self.pre_loss,
+                self.cfg.pre_loss_boost,
+                self.cfg.pre_loss_damp,
+            )
+            p = np.where(has_snap, np.minimum(1.0, p * factor), p)
         return p
 
     def sample_gan_mask(self, use_gan: bool) -> np.ndarray:

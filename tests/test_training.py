@@ -349,6 +349,66 @@ class TestPool:
         pool = self._mk_pool(1)
         assert pool.gan_probability(0) == 0.0  # infinite running loss
 
+    def test_pre_loss_gate_off_is_telemetry_only(self):
+        """Default: pre_loss never changes the probability (the documented
+        EMA interpretation of ``readme.md:5``)."""
+        cfg = PoolConfig(
+            num_generators=1, starting_gan_loss=0.5, p_gan_leader=0.9,
+        )
+        pool = self._mk_pool(1, cfg)
+        pool.members[0].running_loss = 0.2
+        base = pool.gan_probability(0)
+        pool.members[0].pre_loss = 0.1  # regressed since snapshot
+        assert pool.gan_probability(0) == base == 0.9
+
+    def test_pre_loss_gate_modulates_probability(self):
+        """Opt-in ``readme.md:5`` clause: own loss vs pre_loss scales
+        P(GAN) — boost when improved, damp when regressed, clamped to 1,
+        inactive before the first epoch snapshot."""
+        cfg = PoolConfig(
+            num_generators=1, starting_gan_loss=0.5,
+            p_gan_leader=0.8, p_gan_above=0.2,
+            pre_loss_gate=True, pre_loss_boost=1.5, pre_loss_damp=0.5,
+        )
+        pool = self._mk_pool(1, cfg)
+        m = pool.members[0]
+        # no snapshot yet → base probability untouched
+        m.running_loss = 0.2
+        assert pool.gan_probability(0) == pytest.approx(0.8)
+        # improved since snapshot → boosted (0.8*1.5 clamps to 1.0)
+        m.pre_loss = 0.3
+        assert pool.gan_probability(0) == pytest.approx(1.0)
+        # regressed → damped
+        m.pre_loss = 0.1
+        assert pool.gan_probability(0) == pytest.approx(0.4)
+        # above-threshold regime modulates too
+        m.running_loss = 0.7
+        m.pre_loss = 0.9
+        assert pool.gan_probability(0) == pytest.approx(0.3)
+
+    def test_pre_loss_gate_stacked_matches_member_list(self):
+        """The stacked scheduler applies the identical modulation."""
+        from srgan_tpu.training.stacked_pool import StackedGeneratorPool
+
+        cfg = PoolConfig(
+            num_generators=3, starting_gan_loss=0.5,
+            p_gan_above=0.2, p_gan_leader=0.8, p_gan_follower=0.1,
+            pre_loss_gate=True, pre_loss_boost=1.5, pre_loss_damp=0.5,
+        )
+        pool = self._mk_pool(3, cfg)
+        spool = StackedGeneratorPool.create(
+            [m.state for m in pool.members], cfg
+        )
+        losses = [0.2, 0.3, 0.7]
+        pres = [0.3, 0.1, np.inf]  # improved / regressed / no snapshot
+        for i, (l, p) in enumerate(zip(losses, pres)):
+            pool.members[i].running_loss = l
+            pool.members[i].pre_loss = p
+        spool.running_loss = np.asarray(losses)
+        spool.pre_loss = np.asarray(pres)
+        want = [pool.gan_probability(i) for i in range(3)]
+        np.testing.assert_allclose(spool.gan_probabilities(), want)
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path, rng):
