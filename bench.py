@@ -1,20 +1,35 @@
-"""Headline benchmark: training throughput (images/sec/chip) of the flagship
-4x SR generator at the reference's data shapes (HR 512x1024 / LR 128x256,
-batch 12 — ``src/train.py:94-95``, ``src/transformers.py:74,80``).
+"""Benchmark of the full performance surface, headline first.
 
-Runs the fused jit train step (forward + ReconstructionLoss + backward +
-Adam) on whatever accelerator is visible (the driver provides one real TPU
-chip). Baseline is the reference-equivalent torch CPU train step measured by
-``scripts/measure_cpu_baseline.py`` (BASELINE.md procedure), read from
-BASELINE_CPU.json.
+Headline (the ``metric``/``value`` fields): training throughput
+(images/sec/chip) of the flagship 4x SR generator at the reference's data
+shapes (HR 512x1024 / LR 128x256 — ``src/train.py:94-95``,
+``src/transformers.py:74,80``) — the fused jit train step (forward +
+ReconstructionLoss + backward + Adam). Baseline is the reference-equivalent
+torch CPU train step measured by ``scripts/measure_cpu_baseline.py``
+(BASELINE.md procedure), read from BASELINE_CPU.json.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``extras`` (VERDICT r2 weak #1: every shipped fast path must be guarded by
+the driver-recorded bench, not PARITY prose):
+  - ``real_epoch_pixel_images_per_sec``  — end-to-end real-data epoch loop
+    (device-cached pipeline + fused step + packed lagged metric drain), the
+    reference hot loop ``src/train.py:151-166``;
+  - ``real_epoch_gan_pool3_images_per_sec`` — flagship pool-3 GAN config
+    (vmap-stacked pool + fused G+D executable, ``--remat``);
+  - ``serving_images_per_sec_device`` — batch-48 inference with device-side
+    uint8 quantization (``infer_step_u8``), the serving fast path.
+
+Extras run by default on TPU; set BENCH_FULL=1 to force them elsewhere or
+BENCH_FULL=0 to skip. Each is independently fault-isolated: a failure
+reports ``null`` for that metric and never blocks the headline line.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
 
 import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from srgan_tpu.utils.platform import (  # noqa: E402
@@ -39,13 +54,13 @@ def _baseline_ips() -> float:
         return 0.12  # conservative fallback estimate, see BASELINE_CPU.json
 
 
-def main():
+def bench_synthetic_step(on_tpu: bool) -> float:
+    """Headline: the fused pixel train step at flagship shapes."""
     from srgan_tpu.config import ModelConfig
     from srgan_tpu.models.srresnet import init_generator
     from srgan_tpu.training.steps import generator_pixel_step
     from srgan_tpu.training.train_state import TrainState
 
-    on_tpu = jax.devices()[0].platform == "tpu"
     # Reference trains at batch 12/GPU (a VRAM limit, ``src/train.py:94``);
     # per-chip throughput on v5e peaks at batch 24 (fixed costs amortize:
     # 78 img/s @ 12 → 109 img/s @ 24, flat at 32). Same model, same shapes.
@@ -66,10 +81,12 @@ def main():
     )
     state = TrainState.create(apply_fn=model.apply, params=params)
 
-    key = jax.random.key(1)
-    hr = jax.random.uniform(key, (batch, hr_h, hr_w, 3), jnp.float32)
+    hr = jax.random.uniform(
+        jax.random.key(1), (batch, hr_h, hr_w, 3), jnp.float32
+    )
     lr_imgs = jax.random.uniform(
-        jax.random.key(2), (batch, hr_h // factor, hr_w // factor, 3), jnp.float32
+        jax.random.key(2), (batch, hr_h // factor, hr_w // factor, 3),
+        jnp.float32,
     )
     lr = jnp.asarray(1e-4)
 
@@ -84,14 +101,147 @@ def main():
         state, m = generator_pixel_step(state, hr, lr_imgs, lr)
     float(m["g_loss"])
     dt = time.perf_counter() - t0
+    return batch * steps / dt
 
-    ips = batch * steps / dt
+
+def _epoch_rate(cfg, data_dir: str, epochs: int) -> float:
+    """Steady-state real-data epoch rate (epoch 0 pays cache build +
+    compile and is excluded)."""
+    from srgan_tpu.data.pipeline import TrainPipeline
+    from srgan_tpu.training.loop import Trainer
+
+    trainer = Trainer(cfg)
+    pipeline = TrainPipeline(
+        cfg.data, data_dir, use_split=True,
+        seed=cfg.train.seed, sharding=trainer.data_sharding,
+    )
+    rates = []
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        m = trainer.train_epoch(pipeline, epoch)
+        dt = time.perf_counter() - t0
+        rates.append(m["n_batches"] * cfg.data.batch_size / dt)
+    pipeline.close()
+    steady = rates[1:] or rates
+    return float(sum(steady) / len(steady))
+
+
+def bench_real_epochs(on_tpu: bool) -> dict:
+    """Pixel epoch + pool-3 GAN epoch over the real-data pipeline."""
+    from scripts.bench_epoch import make_dataset
+    from srgan_tpu.config import (
+        Config, DataConfig, DiscriminatorConfig, ModelConfig, PoolConfig,
+        TrainConfig,
+    )
+
+    h, w = (512, 1024) if on_tpu else (128, 256)
+    n_images = int(
+        os.environ.get("BENCH_EPOCH_IMAGES", "120" if on_tpu else "16")
+    )
+    epochs = int(os.environ.get("BENCH_EPOCHS", "2"))
+    data_dir = os.environ.get("BENCH_DATA_DIR", f"/tmp/srbench_{h}x{w}")
+    make_dataset(data_dir, n_images, h, w)
+    dtype = "bfloat16" if on_tpu else "float32"
+
+    out = {}
+    pixel_cfg = Config(
+        model=ModelConfig(compute_dtype=dtype),
+        data=DataConfig(
+            hr_size=(h, w), batch_size=24 if on_tpu else 4,
+            device_cache="on",
+        ),
+        train=TrainConfig(),
+    )
+    out["real_epoch_pixel_images_per_sec"] = round(
+        _epoch_rate(pixel_cfg, data_dir, epochs), 3
+    )
+
+    gan_cfg = Config(
+        model=ModelConfig(compute_dtype=dtype, remat=True),
+        discriminator=DiscriminatorConfig(compute_dtype=dtype),
+        data=DataConfig(
+            hr_size=(h, w), batch_size=12 if on_tpu else 4,
+            device_cache="on",
+        ),
+        pool=PoolConfig(num_generators=3),
+        train=TrainConfig(use_gan=True),
+    )
+    out["real_epoch_gan_pool3_images_per_sec"] = round(
+        _epoch_rate(gan_cfg, data_dir, epochs), 3
+    )
+    return out
+
+
+def bench_serving(on_tpu: bool) -> float:
+    """Device-side u8 serving rate: SR forward + enhance-free uint8
+    quantization in one executable, host fetch of uint8 frames."""
+    import numpy as np
+
+    from srgan_tpu.config import ModelConfig
+    from srgan_tpu.models.srresnet import init_generator
+    from srgan_tpu.training.steps import infer_step_u8
+
+    batch = int(os.environ.get("BENCH_SERVE_BATCH", "48" if on_tpu else "4"))
+    lr_h, lr_w = (128, 256) if on_tpu else (32, 64)
+    cfg = ModelConfig(
+        compute_dtype="bfloat16" if on_tpu else "float32",
+    )
+    model, params = init_generator(
+        cfg, jax.random.key(0), sample_hw=(lr_h, lr_w)
+    )
+    lr_imgs = jax.random.uniform(
+        jax.random.key(3), (batch, lr_h, lr_w, 3), jnp.float32
+    )
+    np.asarray(infer_step_u8(model.apply, params, lr_imgs))  # compile
+    steps = int(os.environ.get("BENCH_SERVE_STEPS", "5"))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        np.asarray(infer_step_u8(model.apply, params, lr_imgs))
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def main():
+    on_tpu = jax.devices()[0].platform == "tpu"
+    full = os.environ.get("BENCH_FULL")
+    run_extras = full == "1" or (full != "0" and on_tpu)
+
+    ips = bench_synthetic_step(on_tpu)
     baseline = _baseline_ips()
+
+    extras = {}
+    if run_extras:
+        for fn, keys in (
+            (bench_real_epochs, None),
+            (bench_serving, "serving_images_per_sec_device"),
+        ):
+            try:
+                res = fn(on_tpu)
+                if isinstance(res, dict):
+                    extras.update(res)
+                else:
+                    extras[keys] = round(res, 3)
+            except Exception:
+                traceback.print_exc()
+                if isinstance(keys, str):
+                    extras[keys] = None
+                else:
+                    extras.setdefault(
+                        "real_epoch_pixel_images_per_sec", None
+                    )
+                    extras.setdefault(
+                        "real_epoch_gan_pool3_images_per_sec", None
+                    )
+        pix = extras.get("real_epoch_pixel_images_per_sec")
+        if pix:
+            extras["real_epoch_vs_baseline"] = round(pix / baseline, 2)
+
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip_4x_sr",
         "value": round(ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(ips / baseline, 2),
+        "extras": extras,
     }))
 
 
