@@ -91,6 +91,10 @@ def _add_train(sub):
                         "directory (view with TensorBoard/XProf)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
+    p.add_argument("--reduce-metrics", action="store_true",
+                   help="all-reduce the scalar epoch record across hosts "
+                        "(one identical global curve per host; default "
+                        "keeps the reference's per-rank curves)")
 
 
 def _add_eval(sub):
@@ -218,6 +222,7 @@ def main(argv=None):
                 debug_nans=args.debug_nans,
                 checkpoint_every=args.checkpoint_every,
                 keep_best=args.keep_best,
+                reduce_metrics=args.reduce_metrics,
             ),
         )
         try:

@@ -602,6 +602,11 @@ class Trainer:
         # epoch, snapshot the full state, exit cleanly. Pair with
         # ``--resume`` to continue. The reference dies losing everything
         # (it only saves at the very end, ``src/train.py:123-125``).
+        # NOTE: the flush happens at the EPOCH boundary; flagship epochs
+        # run minutes, longer than common 30-90 s eviction grace windows,
+        # so ``--checkpoint-every 1`` (async — disk writes overlap the
+        # next epoch) is the primary preemption safety net and this
+        # handler is the best-effort clean exit on top (PARITY.md).
         self._stop_requested = False
         prev_handler = None
         handler_installed = False
