@@ -12,6 +12,13 @@ Usage:
   python scripts/quality_parity.py torch  --data /tmp/qp/train --val /tmp/qp/val
   python scripts/quality_parity.py jax    --data /tmp/qp/train --val /tmp/qp/val
 Each prints one JSON line with final val PSNR (and img/s).
+
+Scale knobs (env): QP_HR, QP_FACTOR, QP_EPOCHS, QP_BATCH, QP_FEATURES,
+QP_BLOCKS, QP_LR. Defaults reproduce the r1 small-scale point; the r3
+mid-scale point (VERDICT r2 #8) is
+  QP_HR=256 QP_FEATURES=64 QP_BLOCKS=8 QP_EPOCHS=30.
+The jax side also takes QP_PERCEPTUAL (perceptual-loss weight; random
+features in this image — see models/vgg.py) for the quality table row.
 """
 
 import argparse
@@ -24,13 +31,14 @@ import time
 import numpy as np
 from PIL import Image
 
-HR = 128       # HR crop size (small enough for torch on 1 CPU core)
-FACTOR = 2
-EPOCHS = int(__import__("os").environ.get("QP_EPOCHS", "6"))
-BATCH = 2
-FEATURES = 32  # shrunk model so the torch side finishes in minutes
-BLOCKS = 4
-LR_G = 1e-4
+_env = os.environ.get
+HR = int(_env("QP_HR", "128"))   # HR crop size (torch runs on 1 CPU core)
+FACTOR = int(_env("QP_FACTOR", "2"))
+EPOCHS = int(_env("QP_EPOCHS", "6"))
+BATCH = int(_env("QP_BATCH", "2"))
+FEATURES = int(_env("QP_FEATURES", "32"))
+BLOCKS = int(_env("QP_BLOCKS", "4"))
+LR_G = float(_env("QP_LR", "1e-4"))
 
 
 def load_split(data_dir, val_dir):
@@ -88,6 +96,7 @@ def run_torch(train_hr, val_hr):
             h = F.leaky_relu(self.head(x), 0.2)
             return self.tail(self.up(self.mid(self.blocks(h)) + h))
 
+    assert FACTOR == 2, "the torch oracle hardcodes one PixelShuffle stage"
     model = Gen()
     opt = torch.optim.Adam(model.parameters(), lr=LR_G)
     sched = torch.optim.lr_scheduler.LinearLR(
@@ -134,6 +143,7 @@ def run_jax(train_dir, val_dir):
     from srgan_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
     from srgan_tpu.training.loop import Trainer
 
+    p_weight = float(_env("QP_PERCEPTUAL", "0"))
     cfg = Config(
         model=ModelConfig(
             num_features=FEATURES, num_residuals=BLOCKS, upscale_factor=FACTOR
@@ -145,6 +155,7 @@ def run_jax(train_dir, val_dir):
         train=TrainConfig(
             num_epochs=EPOCHS, lr_generator=LR_G, validate_every=100,
             results_dir="/tmp/qp_results", seed=0,
+            perceptual_weight=p_weight,
         ),
     )
     trainer = Trainer(cfg, use_mesh=False)
@@ -152,8 +163,10 @@ def run_jax(train_dir, val_dir):
     print(json.dumps({
         "side": "srgan_tpu",
         "val_psnr": last["psnr"],
+        "val_ssim": last.get("ssim"),
         "train_images_per_sec": last["images_per_sec"],
         "epochs": EPOCHS,
+        "perceptual_weight": p_weight,
     }))
 
 

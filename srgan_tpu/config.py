@@ -35,12 +35,15 @@ class ModelConfig:
     # jax.checkpoint each residual block (more FLOPs, far less activation
     # HBM — bigger batches/images per chip).
     remat: bool = False
-    # lax.scan over the residual tower (stacked block params): smaller HLO,
-    # same math. Changes the param-tree layout. Known issue: the flagship-
-    # size scanned train step crashes the dev tunnel's remote TPU compiler
-    # (small models and all CPU paths work) — init_generator fails fast
-    # with a clear error when scan_blocks=True on the TPU backend.
-    scan_blocks: bool = False
+    # NOTE (r3): the former ``scan_blocks`` knob (lax.scan over the residual
+    # tower for smaller HLO) was REMOVED after measurement on the real chip:
+    # without remat the scan-stacked residuals exceed HBM at flagship size
+    # (compile-time OOM: 20.17G of 15.75G — XLA cannot rematerialize across
+    # a scan), and with per-block remat the scanned gradient graph compiles
+    # no faster than the unrolled tower it was meant to mitigate. The
+    # persistent compilation cache (utils/platform.py) is the shipped
+    # cold-compile mitigation; the scan formulation survives as a test-only
+    # option on the SRResNet module (equivalence-tested on CPU).
     # bfloat16 compute keeps the conv towers on the MXU's fast path; params
     # stay float32 and are cast per-op.
     compute_dtype: str = "float32"  # "float32" | "bfloat16"

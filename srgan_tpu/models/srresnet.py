@@ -115,9 +115,15 @@ class SRResNet(nn.Module):
     # trades ~30% more FLOPs for dropping all block activations from HBM —
     # enables much larger batches/images per chip.
     remat: bool = False
-    # Roll the residual tower into one lax.scan over stacked block params:
-    # ~16x less HLO to compile (seconds vs minutes at flagship size), same
-    # math. Param tree differs from the unrolled layout (stacked leaves).
+    # TEST-ONLY (not in ModelConfig since r3): roll the residual tower into
+    # one lax.scan over stacked block params. Measured on the real chip and
+    # rejected as a compile-time mitigation: without remat the scan pins all
+    # stacked block activations and flagship shapes OOM at COMPILE time
+    # (20.17G of 15.75G HBM — XLA cannot rematerialize across a scan
+    # boundary); with per-block remat the scanned gradient graph compiles no
+    # faster than the unrolled tower. Kept for the CPU equivalence test
+    # (stacked-vs-unrolled math identity) and as the documented negative
+    # result; the persistent XLA compile cache is the shipped mitigation.
     scan_blocks: bool = False
     compute_dtype: Any = jnp.float32
 
@@ -132,7 +138,6 @@ class SRResNet(nn.Module):
             group_norm_groups=cfg.group_norm_groups,
             head=cfg.head,
             remat=cfg.remat,
-            scan_blocks=cfg.scan_blocks,
             compute_dtype=_dtype(cfg.compute_dtype),
         )
 
@@ -329,17 +334,6 @@ def init_generator(
 ):
     """Initialize generator params. ``sample_hw`` is the LR (height, width)
     used for shape inference; defaults to 32x32."""
-    if cfg.scan_blocks and jax.default_backend() == "tpu":
-        # Known issue (config.py scan_blocks): the scanned residual tower
-        # crashes the TPU backend's Mosaic/XLA pipeline at flagship size.
-        # Fail fast with the documented message instead of wedging the
-        # remote compiler mid-run (VERDICT r1 weak #4).
-        raise NotImplementedError(
-            "ModelConfig.scan_blocks=True is not supported on the TPU "
-            "backend: the scanned residual tower crashes the remote TPU "
-            "compiler at flagship size (see config.py). Use remat=True "
-            "to cut compile memory, or the default unrolled tower."
-        )
     model = SRResNet.from_config(cfg)
     h, w = sample_hw or (32, 32)
     sample = jnp.zeros((1, h, w, cfg.in_channels), jnp.float32)

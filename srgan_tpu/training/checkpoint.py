@@ -284,7 +284,11 @@ def load_model_config(results_dir: str, prefix: str) -> Optional[ModelConfig]:
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return ModelConfig(**json.load(f))
+        data = json.load(f)
+    # Tolerate sidecars from other versions: drop keys ModelConfig no
+    # longer has (e.g. the removed r2 ``scan_blocks`` knob).
+    fields = {f.name for f in dataclasses.fields(ModelConfig)}
+    return ModelConfig(**{k: v for k, v in data.items() if k in fields})
 
 
 def restore_generator_params(results_dir: str, prefix: str, index: int = 0):

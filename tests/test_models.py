@@ -124,6 +124,38 @@ class TestSRResNet:
         assert out.shape == (2, 8 * factor, 12 * factor, 3)
         assert out.dtype == jnp.float32
 
+    def test_scanned_tower_matches_unrolled(self, rng):
+        """The test-only lax.scan tower formulation (see the r3 removal
+        note on SRResNet.scan_blocks) computes the identical function:
+        stacking the unrolled per-block params along a leading axis and
+        running the scanned model reproduces the unrolled output."""
+        kw = dict(num_features=8, num_residuals=4, upscale_factor=2)
+        unrolled = SRResNet(**kw)
+        scanned = SRResNet(scan_blocks=True, **kw)
+        x = jnp.asarray(rng.random((1, 12, 16, 3)), jnp.float32)
+        params = unrolled.init(jax.random.key(0), x)["params"]
+
+        # stack ResidualBlock_i subtrees into the scan's leading-axis layout
+        blocks = [params[f"ResidualBlock_{i}"] for i in range(4)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+        scan_params = {
+            k: v for k, v in params.items()
+            if not k.startswith("ResidualBlock_")
+        }
+        scan_params["blocks"] = {"ResidualBlock_0": stacked}
+        # the scan template must structurally match: verify by init
+        template = scanned.init(jax.random.key(1), x)["params"]
+        assert jax.tree.structure(template) == jax.tree.structure(
+            scan_params
+        ), "scan param layout drifted from the stacked-unrolled mapping"
+
+        out_unrolled = unrolled.apply({"params": params}, x)
+        out_scanned = scanned.apply({"params": scan_params}, x)
+        np.testing.assert_allclose(
+            np.asarray(out_scanned), np.asarray(out_unrolled),
+            rtol=1e-5, atol=1e-5,
+        )
+
     def test_fully_convolutional(self):
         """Any spatial size works (reference ``models.py:80-87``)."""
         cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
