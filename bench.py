@@ -194,11 +194,27 @@ def bench_serving(on_tpu: bool) -> float:
     )
     np.asarray(infer_step_u8(model.apply, params, lr_imgs))  # compile
     steps = int(os.environ.get("BENCH_SERVE_STEPS", "5"))
+
+    # Device rate: dispatch the loop, force completion with a TINY fetch
+    # (full-frame fetches would measure the host link, not the chip — the
+    # dev tunnel moves ~20 MB/s and one u8 frame batch is 75 MB).
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(steps):
+        out = infer_step_u8(model.apply, params, lr_imgs)
+    float(out[0, 0, 0, 0])
+    device_rate = batch * steps / (time.perf_counter() - t0)
+
+    # End-to-end fetch rate: every uint8 frame pulled to the host — what a
+    # serving process actually achieves on this host link.
     t0 = time.perf_counter()
     for _ in range(steps):
         np.asarray(infer_step_u8(model.apply, params, lr_imgs))
-    dt = time.perf_counter() - t0
-    return batch * steps / dt
+    fetch_rate = batch * steps / (time.perf_counter() - t0)
+    return {
+        "serving_images_per_sec_device": round(device_rate, 3),
+        "serving_images_per_sec_fetch_u8": round(fetch_rate, 3),
+    }
 
 
 def main():
@@ -211,27 +227,18 @@ def main():
 
     extras = {}
     if run_extras:
-        for fn, keys in (
-            (bench_real_epochs, None),
-            (bench_serving, "serving_images_per_sec_device"),
+        for fn, null_keys in (
+            (bench_real_epochs, ("real_epoch_pixel_images_per_sec",
+                                 "real_epoch_gan_pool3_images_per_sec")),
+            (bench_serving, ("serving_images_per_sec_device",
+                             "serving_images_per_sec_fetch_u8")),
         ):
             try:
-                res = fn(on_tpu)
-                if isinstance(res, dict):
-                    extras.update(res)
-                else:
-                    extras[keys] = round(res, 3)
+                extras.update(fn(on_tpu))
             except Exception:
                 traceback.print_exc()
-                if isinstance(keys, str):
-                    extras[keys] = None
-                else:
-                    extras.setdefault(
-                        "real_epoch_pixel_images_per_sec", None
-                    )
-                    extras.setdefault(
-                        "real_epoch_gan_pool3_images_per_sec", None
-                    )
+                for k in null_keys:
+                    extras.setdefault(k, None)
         pix = extras.get("real_epoch_pixel_images_per_sec")
         if pix:
             extras["real_epoch_vs_baseline"] = round(pix / baseline, 2)
