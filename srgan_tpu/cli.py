@@ -85,6 +85,10 @@ def _add_train(sub):
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each residual block (fits larger "
                         "batches/pools per chip)")
+    p.add_argument("--progress", choices=["auto", "always", "off"],
+                   default="auto",
+                   help="in-epoch live loss line (reference tqdm-postfix "
+                        "parity; auto = only on a TTY)")
     p.add_argument("--debug-nans", action="store_true")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the run into this "
@@ -223,6 +227,7 @@ def main(argv=None):
                 checkpoint_every=args.checkpoint_every,
                 keep_best=args.keep_best,
                 reduce_metrics=args.reduce_metrics,
+                progress=args.progress,
             ),
         )
         try:

@@ -206,6 +206,11 @@ class TrainConfig:
     vgg_weights_npz: Optional[str] = None
     validate_every: int = 5
     score_max_batches: int = 30  # compute_score cap (``train.py:271-272``)
+    # In-epoch live progress line (the reference's per-batch tqdm postfix,
+    # ``train.py:145,166``), fed from the lagged metric drain so it costs
+    # no extra host sync: "auto" = only when stderr is a TTY, "always",
+    # "off".
+    progress: str = "auto"
     results_dir: str = "results"
     run_prefix: str = "Training"
     seed: int = 0

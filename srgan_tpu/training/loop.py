@@ -51,7 +51,7 @@ from srgan_tpu.training.steps import (
     infer_step,
 )
 from srgan_tpu.training.train_state import TrainState, epoch_lr
-from srgan_tpu.utils.logging import MetricsLogger, Throughput
+from srgan_tpu.utils.logging import MetricsLogger, ProgressLine, Throughput
 from srgan_tpu.utils.plotting import save_comparison, save_rating_curve
 
 
@@ -247,6 +247,9 @@ class Trainer:
         # ``.item()``, ``train.py:196-198``). The lag is semantically benign:
         # the gate reads an EMA.
         pending = None
+        progress = ProgressLine(
+            cfg.train.progress, total=pipeline.steps_per_epoch()
+        )
 
         def drain(pending):
             # ONE host fetch per batch: the step packs every loss scalar
@@ -266,6 +269,13 @@ class Trainer:
             sums["tv_loss"] += float(tv[0])
             sums["g_d_loss"] += float(g_d[0])
             sums["p_loss"] += float(p[0])
+            progress.update(
+                epoch, n_batches,
+                {"g_loss": float(g[0]),
+                 "d_loss": sums["d_loss"] / max(1, n_batches) if has_d
+                 else None},
+                self.throughput.images_per_sec(),
+            )
 
         for hr, lr_imgs in pipeline.epoch(epoch, epoch_key):
             # Discriminator policy (PoolConfig.d_train_target): by default
@@ -334,6 +344,7 @@ class Trainer:
             self.throughput.add(hr.shape[0])
         if pending is not None:
             drain(pending)
+        progress.close()
 
         avg = {k: (v / max(1, n_batches)) for k, v in sums.items()}
         avg["images_per_sec"] = self.throughput.images_per_sec()
@@ -360,6 +371,9 @@ class Trainer:
         # One-batch-lagged metric fetch (see _train_epoch_stacked): batch k
         # is gated/dispatched before batch k-1's loss scalars are pulled.
         pending = ([], None)
+        progress = ProgressLine(
+            cfg.train.progress, total=pipeline.steps_per_epoch()
+        )
 
         def drain(pending):
             # One host fetch per member (the step's metrics["packed"]
@@ -367,6 +381,7 @@ class Trainer:
             # update) — per-scalar float() fetches cost a ~2 ms tunnel
             # round-trip each (see steps.PACKED_KEYS).
             items, d_loss = pending
+            lead_g = None
             for i, packed, used_gan in items:
                 arr = np.asarray(packed)
                 if arr.shape[0] == 6:
@@ -375,12 +390,21 @@ class Trainer:
                 # The ordering signal is the contrastive/pixel loss only.
                 self.pool.record_loss(i, com, used_gan=used_gan)
                 if i == 0:
+                    lead_g = g
                     for k, v in zip(("g_loss", "com_loss", "tv_loss",
                                      "g_d_loss", "p_loss"),
                                     (g, com, tv, g_d, p)):
                         sums[k] += v
             if d_loss is not None:
                 sums["d_loss"] += float(d_loss)
+            if lead_g is not None:
+                progress.update(
+                    epoch, n_batches,
+                    {"g_loss": lead_g,
+                     "d_loss": sums["d_loss"] / max(1, n_batches)
+                     if self.d_state is not None else None},
+                    self.throughput.images_per_sec(),
+                )
 
         for hr, lr_imgs in pipeline.epoch(epoch, epoch_key):
             # d_train_target policy (see _train_epoch_stacked): the member
@@ -470,6 +494,7 @@ class Trainer:
             n_batches += 1
             self.throughput.add(hr.shape[0])
         drain(pending)
+        progress.close()
 
         avg = {k: (v / max(1, n_batches)) for k, v in sums.items()}
         avg["images_per_sec"] = self.throughput.images_per_sec()

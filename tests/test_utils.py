@@ -5,7 +5,7 @@ import os
 
 import numpy as np
 
-from srgan_tpu.utils.logging import MetricsLogger, Throughput
+from srgan_tpu.utils.logging import MetricsLogger, ProgressLine, Throughput
 from srgan_tpu.utils.plotting import (
     comparison_grid,
     save_comparison,
@@ -49,6 +49,26 @@ class TestLogging:
         t.begin()
         t.add(10)
         assert t.images_per_sec() > 0
+
+
+class TestProgressLine:
+    def test_always_renders_and_clears(self, capsys):
+        p = ProgressLine("always", total=10)
+        p.update(0, 3, {"g_loss": 0.5, "d_loss": None}, 42.0)
+        p.update(0, 4, {"g_loss": 0.4, "d_loss": 0.1}, 43.0)
+        p.close()
+        err = capsys.readouterr().err
+        assert "epoch 1 [3/10] g_loss=0.5000 (42.0 img/s)" in err
+        assert "g_loss=0.4000 d_loss=0.1000" in err
+        # the close() wipes the line so the epoch summary starts clean
+        assert err.endswith("\r")
+
+    def test_off_and_non_tty_auto_stay_silent(self, capsys):
+        for mode in ("off", "auto"):  # capsys stderr is not a TTY
+            p = ProgressLine(mode, total=5)
+            p.update(0, 1, {"g_loss": 1.0}, 1.0)
+            p.close()
+        assert capsys.readouterr().err == ""
 
 
 class TestProfiling:
