@@ -88,6 +88,13 @@ class Trainer:
             members.append(PoolMember(state=state))
         self.pool = GeneratorPool(members, cfg.pool, seed=cfg.train.seed)
         self._best_psnr = float("-inf")  # keep_best watermark
+        # Preemption flags: the SIGTERM handler installed by train() flips
+        # _stop_requested; the epoch loops then break at the next BATCH
+        # boundary and mark the epoch interrupted (so the snapshot restarts
+        # it on --resume). Initialized here so train_epoch works standalone
+        # (bench scripts drive it without train()).
+        self._stop_requested = False
+        self._epoch_interrupted = False
         # Pools with >1 member execute vmap-stacked by default: one fused
         # step updates every member (srgan_tpu.training.stacked_pool).
         self.use_stacked = cfg.pool.stacked and cfg.pool.num_generators > 1
@@ -278,6 +285,14 @@ class Trainer:
             )
 
         for hr, lr_imgs in pipeline.epoch(epoch, epoch_key):
+            if self._stop_requested:
+                # Batch-granularity preemption stop: flagship epochs run
+                # minutes — longer than common 30-90 s eviction grace
+                # windows — so don't wait for the epoch boundary (ADVICE
+                # r2). The pending drain below settles the last dispatched
+                # step; train() snapshots and --resume restarts this epoch.
+                self._epoch_interrupted = True
+                break
             # Discriminator policy (PoolConfig.d_train_target): by default
             # the shared D trains against the LEADER's SR — the README
             # routes adversarial updates mostly to member 0 once converged
@@ -407,6 +422,10 @@ class Trainer:
                 )
 
         for hr, lr_imgs in pipeline.epoch(epoch, epoch_key):
+            if self._stop_requested:
+                # Batch-granularity preemption stop (see the stacked loop).
+                self._epoch_interrupted = True
+                break
             # d_train_target policy (see _train_epoch_stacked): the member
             # whose SR feeds the discriminator update this batch.
             if self.d_state is not None:
@@ -623,15 +642,16 @@ class Trainer:
         os.makedirs(cfg.train.results_dir, exist_ok=True)
 
         # Preemption hook: SIGTERM (the eviction signal of every managed
-        # TPU environment) requests a graceful stop — finish the current
-        # epoch, snapshot the full state, exit cleanly. Pair with
-        # ``--resume`` to continue. The reference dies losing everything
-        # (it only saves at the very end, ``src/train.py:123-125``).
-        # NOTE: the flush happens at the EPOCH boundary; flagship epochs
-        # run minutes, longer than common 30-90 s eviction grace windows,
-        # so ``--checkpoint-every 1`` (async — disk writes overlap the
-        # next epoch) is the primary preemption safety net and this
-        # handler is the best-effort clean exit on top (PARITY.md).
+        # TPU environment) requests a graceful stop — the epoch loop breaks
+        # at the next BATCH boundary (seconds, inside common 30-90 s
+        # eviction grace windows; flagship epochs run minutes), the full
+        # state is snapshotted, and the process exits cleanly. Pair with
+        # ``--resume`` to continue: an interrupted epoch restarts from its
+        # beginning (its partial updates are kept — re-running an epoch is
+        # benign for SGD). The reference dies losing everything (it only
+        # saves at the very end, ``src/train.py:123-125``).
+        # ``--checkpoint-every 1`` (async — disk writes overlap the next
+        # epoch) remains the safety net for a hard kill with no signal.
         self._stop_requested = False
         prev_handler = None
         handler_installed = False
@@ -641,8 +661,8 @@ class Trainer:
             def _request_stop(signum, frame):
                 self._stop_requested = True
                 print(
-                    "SIGTERM: will checkpoint and stop at the end of this "
-                    "epoch", flush=True,
+                    "SIGTERM: will checkpoint and stop at the next batch "
+                    "boundary", flush=True,
                 )
 
             prev_handler = signal.signal(signal.SIGTERM, _request_stop)
@@ -654,7 +674,39 @@ class Trainer:
         try:
             for epoch in range(start_epoch, cfg.train.num_epochs):
                 t0 = time.perf_counter()
+                self._epoch_interrupted = False
                 train_metrics = self.train_epoch(pipeline, epoch)
+                if self._epoch_interrupted:
+                    # Mid-epoch preemption: snapshot at the batch boundary
+                    # with epoch=epoch (NOT epoch+1) so --resume restarts
+                    # the interrupted epoch. No re-sort/mutual-learning/
+                    # scoring on a partial epoch.
+                    self._sync_pool_from_stacked()
+                    ckpt.wait_for_checkpoints()
+                    ckpt.save_checkpoint(
+                        cfg.train.results_dir,
+                        cfg.train.run_prefix,
+                        pool=self.pool,
+                        d_state=self.d_state,
+                        epoch=epoch,
+                        model_config=cfg.model,
+                    )
+                    print(
+                        f"stopped mid-epoch {epoch + 1} after "
+                        f"{train_metrics['n_batches']} batches; --resume "
+                        "restarts this epoch", flush=True,
+                    )
+                    # Return the last COMPLETED epoch's record (epoch ==
+                    # number of finished epochs == the snapshot's epoch),
+                    # flagged so callers can tell a preempted run from a
+                    # finished one.
+                    return {
+                        **last,
+                        "epoch": epoch,
+                        "interrupted": True,
+                        "interrupted_after_batches":
+                            train_metrics["n_batches"],
+                    }
                 if self.spool is not None:
                     self.spool.end_epoch()
                 else:
