@@ -14,7 +14,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from srgan_tpu.config import Config, ModelConfig
+from srgan_tpu.config import ModelConfig
 from srgan_tpu.models.enhancer import enhance
 from srgan_tpu.models.srresnet import SRResNet, init_generator
 from srgan_tpu.training.steps import infer_step

@@ -26,7 +26,6 @@ Invoked by ``tests/test_multiprocess.py``; not a pytest module itself.
 import argparse
 import json
 import os
-import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 

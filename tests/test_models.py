@@ -7,7 +7,6 @@ import pytest
 
 from srgan_tpu.config import DiscriminatorConfig, ModelConfig
 from srgan_tpu.models import (
-    Discriminator,
     SRResNet,
     init_discriminator,
     init_generator,

@@ -2,8 +2,6 @@
 
 Skipped entirely if the shared library can't be built (no g++/libjpeg)."""
 
-import os
-
 import numpy as np
 import pytest
 from PIL import Image

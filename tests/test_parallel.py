@@ -9,7 +9,6 @@ import pytest
 from srgan_tpu.config import MeshConfig, ModelConfig
 from srgan_tpu.models.srresnet import init_generator
 from srgan_tpu.parallel.mesh import (
-    batch_sharding,
     make_mesh,
     replicate,
     shard_batch,

@@ -1,7 +1,6 @@
 """Training-runtime tests: optimizer parity, LR schedule, jit steps,
 pool scheduler, checkpoint round-trip (SURVEY.md §4 plan items a/c/e)."""
 
-import os
 
 import jax
 import jax.numpy as jnp
@@ -9,8 +8,6 @@ import numpy as np
 import pytest
 
 from srgan_tpu.config import (
-    Config,
-    DataConfig,
     DiscriminatorConfig,
     ModelConfig,
     PoolConfig,
