@@ -81,6 +81,8 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint residual blocks (fits pool+GAN at "
                          "larger batches)")
+    ap.add_argument("--pool-exec", choices=("vmap", "scan"), default="vmap",
+                    help="stacked-pool executor (PoolConfig.member_exec)")
     ap.add_argument("--data-dir", default="/tmp/srbench_data")
     ap.add_argument("--score", action="store_true",
                     help="compute held-out PSNR/SSIM after each epoch "
@@ -123,7 +125,9 @@ def main():
         data=DataConfig(
             hr_size=(h, w), batch_size=args.batch, device_cache="on"
         ),
-        pool=PoolConfig(num_generators=args.pool),
+        pool=PoolConfig(
+            num_generators=args.pool, member_exec=args.pool_exec
+        ),
         train=TrainConfig(use_gan=args.gan, num_epochs=args.epochs),
     )
     trainer = Trainer(cfg)

@@ -42,6 +42,13 @@ def _add_train(sub):
                         "pretrained torchvision weights are ported from a "
                         "local cache when present)")
     p.add_argument("--starting-gan-loss", type=float, default=0.05)
+    p.add_argument("--pool-exec", choices=("vmap", "scan"), default="vmap",
+                   help="stacked-pool executor: 'vmap' interleaves all "
+                        "members in one differentiated region (N x "
+                        "activation memory — flagship pool GAN needs "
+                        "--remat + smaller batch); 'scan' runs members "
+                        "sequentially inside one executable (1x memory, "
+                        "no remat, Pallas loss engages)")
     p.add_argument("--pre-loss-gate", action="store_true",
                    help="modulate P(GAN) by own loss vs last epoch's "
                         "pre_loss snapshot (readme.md:5 clause; off = EMA "
@@ -211,6 +218,7 @@ def main(argv=None):
                 num_generators=args.num_generators,
                 starting_gan_loss=args.starting_gan_loss,
                 pre_loss_gate=args.pre_loss_gate,
+                member_exec=args.pool_exec,
             ),
             train=TrainConfig(
                 num_epochs=args.epochs,

@@ -132,6 +132,15 @@ class PoolConfig:
     # (one fused step updates all members — the TPU-idiomatic layout,
     # SURVEY.md §2 EP row) instead of sequential per-member steps.
     stacked: bool = True
+    # How the stacked step executes the members. "vmap": all members in one
+    # interleaved differentiated region — maximum scheduler freedom, but
+    # N x activations live at the backward (flagship pool-3 GAN needs
+    # ``--remat`` + batch 12 on v5e). "scan": ``lax.scan`` over the pool
+    # axis with each member's grad+Adam inside its own iteration — 1x
+    # activation memory (no remat), one compiled body (faster compiles),
+    # and the fused Pallas loss kernel engages (it can't batch under the
+    # member vmap). Same update semantics either way (parity-tested).
+    member_exec: str = "vmap"  # "vmap" | "scan"
     # Which generator the shared discriminator trains against each batch.
     # "leader" (default): the current best member's SR — the README names
     # member 0 "the main information generator" (readme.md:7) and mostly

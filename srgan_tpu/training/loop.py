@@ -228,11 +228,20 @@ class Trainer:
         """One epoch with the whole pool updated by a single fused step per
         batch (srgan_tpu.training.stacked_pool)."""
         from srgan_tpu.training.stacked_pool import (
+            scanned_pool_gan_step,
+            scanned_pool_step,
             stacked_pool_gan_step,
             stacked_pool_step,
         )
 
         cfg = self.cfg
+        # Executor choice (PoolConfig.member_exec): the vmapped step
+        # interleaves all members in one differentiated region (N x
+        # activation memory); the scanned twin runs them sequentially with
+        # per-iteration grads (1x memory — no --remat at flagship shapes).
+        if cfg.pool.member_exec == "scan":
+            stacked_pool_step = scanned_pool_step
+            stacked_pool_gan_step = scanned_pool_gan_step
         g_lr = jnp.asarray(
             epoch_lr(cfg.train, cfg.train.lr_generator, epoch), jnp.float32
         )

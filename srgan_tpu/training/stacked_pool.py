@@ -38,6 +38,8 @@ from srgan_tpu.ops.gan_loss import (
 )
 from srgan_tpu.ops.recon_loss import (
     edge_importance_map,
+    pallas_loss_supported,
+    reconstruction_loss,
     reconstruction_loss_with_edges,
 )
 from srgan_tpu.training.steps import pack_metrics, perceptual_term
@@ -225,6 +227,181 @@ def stacked_pool_gan_step(
                "g_loss": com + tv + gan_mask * g_d + p_weight * p,
                "d_loss": d_loss}
     # flat (5*N + 1,) vector, d_loss last: one drain fetch per batch
+    metrics["packed"] = pack_metrics(metrics, d_loss)
+    return new_g_state, new_d_state, metrics
+
+
+def _scan_member_grad_fn(apply_fn, d_apply_fn, d_params, hr, lr_imgs,
+                         vgg_apply_fn, vgg_params, p_weight, use_pallas,
+                         edges, f_real):
+    """Per-member objective gradient for the scanned executor.
+
+    Unlike the vmapped ``_stacked_loss_fn``, each member's loss lives in its
+    own scan iteration, so the fused Pallas loss kernel CAN run here (its
+    HBM-space inputs don't batch under vmap — see ``_stacked_loss_fn``) and
+    is selected whenever the shape supports it; otherwise the shared
+    precomputed ``edges`` path is used, as in the vmapped step."""
+
+    def loss_fn(params, mask):
+        sr = apply_fn({"params": params}, lr_imgs)
+        if use_pallas:
+            com, tv = reconstruction_loss(hr, sr, use_pallas=True)
+        else:
+            com, tv = reconstruction_loss_with_edges(hr, sr, edges)
+        if d_apply_fn is not None:
+            fake = d_apply_fn({"params": d_params}, sr)
+            real = jax.lax.stop_gradient(d_apply_fn({"params": d_params}, hr))
+            g_d = generator_adversarial_loss(real, fake)
+        else:
+            g_d = jnp.zeros(())
+        p = jnp.zeros(())
+        if f_real is not None:
+            p = perceptual_term(sr, f_real, vgg_apply_fn, vgg_params)
+        loss = com + tv + mask * g_d + p_weight * p
+        return loss, (com, tv, g_d, p, jax.lax.stop_gradient(sr))
+
+    return jax.grad(loss_fn, has_aux=True)
+
+
+def _scan_pool_update(stacked_state, apply_fn, d_apply_fn, d_params, hr,
+                      lr_imgs, gan_mask, g_lr, vgg_apply_fn, vgg_params,
+                      p_weight, d_target_idx):
+    """Core of the scanned executor: ``lax.scan`` over the pool axis.
+
+    Memory is the reason this exists. The vmapped step differentiates the
+    SUM of all members' losses, so the combined N-member forward is one
+    differentiated region and all N members' activations are live at the
+    backward — at flagship shapes the 3-member GAN program needs ``--remat``
+    and batch 12 to fit v5e HBM (PARITY.md). Here each iteration computes
+    its own member's grad AND applies Adam *inside the scan body*: nothing
+    is differentiated across iterations, so peak activation memory is ONE
+    member's — no remat, full batch. (This is NOT the removed
+    ``scan_blocks`` formulation, which scanned *inside* one differentiated
+    forward and therefore kept every carry live for the backward.)
+
+    Returns ``(new_params, new_opt, (com, tv, g_d, p), sr_selected)`` where
+    each loss is (N,) and ``sr_selected`` is member ``d_target_idx``'s
+    pre-update SR (carried via select — only one SR buffer stays live).
+    """
+    use_pallas = (
+        jax.default_backend() == "tpu" and pallas_loss_supported(hr.shape)
+    )
+    edges = None
+    if not use_pallas:
+        edges = jax.lax.stop_gradient(edge_importance_map(hr))
+    f_real = None
+    if vgg_apply_fn is not None:
+        f_real = jax.lax.stop_gradient(
+            vgg_apply_fn({"params": vgg_params}, hr)
+        )
+    grad_one = _scan_member_grad_fn(
+        apply_fn, d_apply_fn, d_params, hr, lr_imgs,
+        vgg_apply_fn, vgg_params, p_weight, use_pallas, edges, f_real,
+    )
+
+    n = gan_mask.shape[0]
+    sr_sd = jax.eval_shape(
+        lambda p: apply_fn({"params": p}, lr_imgs),
+        jax.tree.map(lambda x: x[0], stacked_state.params),
+    )
+
+    def body(sr_keep, xs):
+        i, params_i, opt_i, mask_i = xs
+        g, (com, tv, g_d, p, sr) = grad_one(params_i, mask_i)
+        updates, new_o = stacked_state.tx.update(g, opt_i, params_i)
+        new_p = jax.tree.map(lambda q, u: q - g_lr * u, params_i, updates)
+        sr_keep = jnp.where(i == d_target_idx, sr, sr_keep)
+        return sr_keep, (new_p, new_o, jnp.stack([com, tv, g_d, p]))
+
+    sr_sel, (new_params, new_opt, losses) = jax.lax.scan(
+        body,
+        jnp.zeros(sr_sd.shape, sr_sd.dtype),
+        (jnp.arange(n, dtype=jnp.int32), stacked_state.params,
+         stacked_state.opt_state, gan_mask),
+    )
+    com, tv, g_d, p = losses.T  # (N, 4) -> 4x (N,)
+    return new_params, new_opt, (com, tv, g_d, p), sr_sel
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0,),
+    static_argnames=("apply_fn", "d_apply_fn", "vgg_apply_fn", "return_sr"),
+)
+def scanned_pool_step(
+    stacked_state: TrainState,
+    apply_fn,
+    d_apply_fn,
+    d_params: Any,
+    hr: jax.Array,
+    lr_imgs: jax.Array,
+    gan_mask: jax.Array,
+    lr: jax.Array,
+    vgg_apply_fn=None,
+    vgg_params: Any = None,
+    p_weight: float = 0.0,
+    d_target_idx: jax.Array | int = 0,
+    return_sr: bool = False,
+) -> Tuple[TrainState, dict]:
+    """Drop-in scanned twin of :func:`stacked_pool_step` — same signature,
+    same metric structure, sequential member execution with 1x activation
+    memory (``PoolConfig.member_exec="scan"``)."""
+    new_params, new_opt, (com, tv, g_d, p), sr_sel = _scan_pool_update(
+        stacked_state, apply_fn, d_apply_fn, d_params, hr, lr_imgs,
+        gan_mask, lr, vgg_apply_fn, vgg_params, p_weight, d_target_idx,
+    )
+    new_state = stacked_state.replace(params=new_params, opt_state=new_opt)
+    metrics = {"com_loss": com, "tv_loss": tv, "g_d_loss": g_d, "p_loss": p,
+               "g_loss": com + tv + gan_mask * g_d + p_weight * p}
+    metrics["packed"] = pack_metrics(metrics)
+    if return_sr:
+        metrics["sr"] = sr_sel
+    return new_state, metrics
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0, 1),
+    static_argnames=("apply_fn", "d_apply_fn", "vgg_apply_fn"),
+)
+def scanned_pool_gan_step(
+    stacked_state: TrainState,
+    d_state: TrainState,
+    apply_fn,
+    d_apply_fn,
+    hr: jax.Array,
+    lr_imgs: jax.Array,
+    gan_mask: jax.Array,
+    g_lr: jax.Array,
+    d_lr: jax.Array,
+    vgg_apply_fn=None,
+    vgg_params: Any = None,
+    p_weight: float = 0.0,
+    d_target_idx: jax.Array | int = 0,
+) -> Tuple[TrainState, TrainState, dict]:
+    """Drop-in scanned twin of :func:`stacked_pool_gan_step`: N member
+    updates run sequentially under ``lax.scan`` (1x activation memory), the
+    shared D update on the selected member's pre-update SR is fused into the
+    same executable, and the pairing semantics ("simultaneous": G reads
+    pre-update D, D trains on pre-update SR) are identical to the vmapped
+    step."""
+    new_params, new_opt, (com, tv, g_d, p), sr_d = _scan_pool_update(
+        stacked_state, apply_fn, d_apply_fn, d_state.params, hr, lr_imgs,
+        gan_mask, g_lr, vgg_apply_fn, vgg_params, p_weight, d_target_idx,
+    )
+    new_g_state = stacked_state.replace(params=new_params, opt_state=new_opt)
+
+    def d_loss_fn(d_params):
+        real_preds = d_apply_fn({"params": d_params}, hr)
+        fake_preds = d_apply_fn({"params": d_params}, sr_d)
+        return discriminator_loss(real_preds, fake_preds)
+
+    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_state.params)
+    new_d_state = d_state.apply_gradients(d_grads, d_lr)
+
+    metrics = {"com_loss": com, "tv_loss": tv, "g_d_loss": g_d, "p_loss": p,
+               "g_loss": com + tv + gan_mask * g_d + p_weight * p,
+               "d_loss": d_loss}
     metrics["packed"] = pack_metrics(metrics, d_loss)
     return new_g_state, new_d_state, metrics
 

@@ -237,6 +237,28 @@ class TestEndToEnd:
         assert np.isfinite(last["d_loss"]) and last["d_loss"] != 0.0
         assert np.isfinite(last["g_d_loss"])
 
+    def test_scanned_pool_executor_e2e(self, tmp_path, data_dirs):
+        """PoolConfig.member_exec="scan" (`--pool-exec scan`): the
+        lax.scan-over-members executor trains a pool+GAN run end-to-end
+        with finite losses and real member updates (the 1x-activation-
+        memory twin of the vmapped step)."""
+        train_dir, val_dir = data_dirs
+        base = _tiny_cfg(tmp_path, hr=64, num_epochs=1, use_gan=True)
+        cfg = Config(
+            model=base.model, data=base.data, train=base.train,
+            discriminator=DiscriminatorConfig(num_filters=8, num_stages=2),
+            pool=PoolConfig(
+                num_generators=3, starting_gan_loss=1e9,
+                p_gan_above=1.0, member_exec="scan",
+            ),
+        )
+        trainer = Trainer(cfg, use_mesh=False)
+        last = trainer.train(train_dir, val_dir)
+        assert np.isfinite(last["g_loss"])
+        assert np.isfinite(last["d_loss"]) and last["d_loss"] != 0.0
+        assert np.isfinite(last["g_d_loss"])
+        assert len(last["pool"]) == 3
+
     def test_pixel_to_gan_finetune(self, tmp_path, data_dirs):
         """Cross-phase fine-tune (readme.md:14 / ``src/train.py:51-59``):
         phase 1 trains pixel-only, so its checkpoint has NO discriminator;

@@ -19,11 +19,13 @@ from srgan_tpu.training.stacked_pool import (
 from srgan_tpu.training.train_state import TrainState
 
 
-def _states(n):
+def _states(n, norm="group"):
     out = []
     model = None
     for i in range(n):
-        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        cfg = ModelConfig(
+            num_features=8, num_residuals=1, upscale_factor=2, norm=norm
+        )
         model, params = init_generator(cfg, jax.random.key(i), sample_hw=(8, 8))
         out.append(TrainState.create(apply_fn=model.apply, params=params))
     return model, out
@@ -144,6 +146,111 @@ class TestStackedStep:
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
             ),
             d_state_a.params, d_state_b.params,
+        )
+
+    def test_scanned_step_matches_vmapped(self, rng):
+        """scanned_pool_step (lax.scan over members, 1x activation memory)
+        produces the same params and metrics as the vmapped step — the two
+        executors behind ``PoolConfig.member_exec``. norm="none" models:
+        with GroupNorm the residual conv biases have exactly-zero true
+        gradients (GN subtracts the mean), so their update is Adam-amplified
+        fp noise that legitimately differs between the two executors."""
+        from srgan_tpu.training.stacked_pool import scanned_pool_step
+
+        model, states = _states(3, norm="none")
+        copy = lambda t: jax.tree.map(jnp.array, t)  # noqa: E731
+        hr = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+        lr_imgs = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+        mask = jnp.zeros(3)
+        lr = jnp.asarray(1e-3)
+
+        sa = stack_states([s.replace(params=copy(s.params)) for s in states])
+        new_v, m_v = stacked_pool_step(
+            sa, model.apply, None, None, hr, lr_imgs, mask, lr,
+            return_sr=True, d_target_idx=np.int32(1),
+        )
+        sb = stack_states([s.replace(params=copy(s.params)) for s in states])
+        new_s, m_s = scanned_pool_step(
+            sb, model.apply, None, None, hr, lr_imgs, mask, lr,
+            return_sr=True, d_target_idx=np.int32(1),
+        )
+
+        for k in ("com_loss", "tv_loss", "g_loss"):
+            np.testing.assert_allclose(
+                np.asarray(m_s[k]), np.asarray(m_v[k]), rtol=1e-5, atol=1e-7
+            )
+        # d_target member's SR (the two-dispatch GAN handoff)
+        np.testing.assert_allclose(
+            np.asarray(m_s["sr"]), np.asarray(m_v["sr"]), rtol=1e-5,
+            atol=1e-6,
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            ),
+            new_s.params, new_v.params,
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            ),
+            new_s.opt_state, new_v.opt_state,
+        )
+
+    def test_scanned_gan_step_matches_vmapped(self, rng):
+        """Fused scanned GAN step == fused vmapped GAN step: generator
+        params, D params, and every loss agree (same simultaneous-update
+        pairing semantics). norm="none" for the same degenerate-bias-grad
+        reason as test_scanned_step_matches_vmapped."""
+        from srgan_tpu.config import DiscriminatorConfig
+        from srgan_tpu.models.discriminator import init_discriminator
+        from srgan_tpu.training.stacked_pool import (
+            scanned_pool_gan_step,
+            stacked_pool_gan_step,
+        )
+
+        model, states = _states(2, norm="none")
+        d_model, d_params = init_discriminator(
+            DiscriminatorConfig(num_filters=8, num_stages=2),
+            jax.random.key(9), sample_hw=(64, 64),
+        )
+        copy = lambda t: jax.tree.map(jnp.array, t)  # noqa: E731
+        hr = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+        lr_imgs = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+        gan_mask = jnp.asarray([1.0, 1.0])
+        g_lr, d_lr = jnp.asarray(1e-3), jnp.asarray(1e-3)
+
+        sa = stack_states([s.replace(params=copy(s.params)) for s in states])
+        da = TrainState.create(apply_fn=d_model.apply, params=copy(d_params))
+        new_v, d_v, m_v = stacked_pool_gan_step(
+            sa, da, model.apply, d_model.apply,
+            hr, lr_imgs, gan_mask, g_lr, d_lr, d_target_idx=np.int32(1),
+        )
+        sb = stack_states([s.replace(params=copy(s.params)) for s in states])
+        db = TrainState.create(apply_fn=d_model.apply, params=copy(d_params))
+        new_s, d_s, m_s = scanned_pool_gan_step(
+            sb, db, model.apply, d_model.apply,
+            hr, lr_imgs, gan_mask, g_lr, d_lr, d_target_idx=np.int32(1),
+        )
+
+        assert float(m_s["d_loss"]) == pytest.approx(
+            float(m_v["d_loss"]), rel=1e-5, abs=1e-7
+        )
+        for k in ("com_loss", "tv_loss", "g_d_loss", "g_loss"):
+            np.testing.assert_allclose(
+                np.asarray(m_s[k]), np.asarray(m_v[k]), rtol=1e-5, atol=1e-7
+            )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            ),
+            new_s.params, new_v.params,
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            ),
+            d_s.params, d_v.params,
         )
 
     def test_roundtrip_stack_unstack(self):
