@@ -156,14 +156,18 @@ def bench_real_epochs(on_tpu: bool) -> dict:
         _epoch_rate(pixel_cfg, data_dir, epochs), 3
     )
 
+    # Scan executor: one member's activations live at a time, so the
+    # flagship pool GAN runs at full batch 24 with NO remat — measured
+    # 28.6 img/s vs 15-17 for vmap+remat@b12; the vmapped program at b24
+    # fails to compile at all (scripts/bench_epoch.py --pool-exec).
     gan_cfg = Config(
-        model=ModelConfig(compute_dtype=dtype, remat=True),
+        model=ModelConfig(compute_dtype=dtype),
         discriminator=DiscriminatorConfig(compute_dtype=dtype),
         data=DataConfig(
-            hr_size=(h, w), batch_size=12 if on_tpu else 4,
+            hr_size=(h, w), batch_size=24 if on_tpu else 4,
             device_cache="on",
         ),
-        pool=PoolConfig(num_generators=3),
+        pool=PoolConfig(num_generators=3, member_exec="scan"),
         train=TrainConfig(use_gan=True),
     )
     out["real_epoch_gan_pool3_images_per_sec"] = round(

@@ -81,7 +81,7 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint residual blocks (fits pool+GAN at "
                          "larger batches)")
-    ap.add_argument("--pool-exec", choices=("vmap", "scan"), default="vmap",
+    ap.add_argument("--pool-exec", choices=("scan", "vmap"), default="scan",
                     help="stacked-pool executor (PoolConfig.member_exec)")
     ap.add_argument("--data-dir", default="/tmp/srbench_data")
     ap.add_argument("--score", action="store_true",

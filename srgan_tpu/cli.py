@@ -42,13 +42,14 @@ def _add_train(sub):
                         "pretrained torchvision weights are ported from a "
                         "local cache when present)")
     p.add_argument("--starting-gan-loss", type=float, default=0.05)
-    p.add_argument("--pool-exec", choices=("vmap", "scan"), default="vmap",
-                   help="stacked-pool executor: 'vmap' interleaves all "
-                        "members in one differentiated region (N x "
-                        "activation memory — flagship pool GAN needs "
-                        "--remat + smaller batch); 'scan' runs members "
-                        "sequentially inside one executable (1x memory, "
-                        "no remat, Pallas loss engages)")
+    p.add_argument("--pool-exec", choices=("scan", "vmap"), default="scan",
+                   help="stacked-pool executor: 'scan' (default) runs "
+                        "members sequentially inside one executable (1x "
+                        "activation memory — flagship pool GAN fits at "
+                        "full batch with no --remat, and the Pallas loss "
+                        "kernel engages); 'vmap' interleaves all members "
+                        "in one differentiated region (N x memory — needs "
+                        "--remat + smaller batch at flagship shapes)")
     p.add_argument("--pre-loss-gate", action="store_true",
                    help="modulate P(GAN) by own loss vs last epoch's "
                         "pre_loss snapshot (readme.md:5 clause; off = EMA "

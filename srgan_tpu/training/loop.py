@@ -242,6 +242,11 @@ class Trainer:
         if cfg.pool.member_exec == "scan":
             stacked_pool_step = scanned_pool_step
             stacked_pool_gan_step = scanned_pool_gan_step
+        elif cfg.pool.member_exec != "vmap":
+            raise ValueError(
+                f"PoolConfig.member_exec must be 'vmap' or 'scan', got "
+                f"{cfg.pool.member_exec!r}"
+            )
         g_lr = jnp.asarray(
             epoch_lr(cfg.train, cfg.train.lr_generator, epoch), jnp.float32
         )
