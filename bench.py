@@ -176,7 +176,7 @@ def bench_real_epochs(on_tpu: bool) -> dict:
     return out
 
 
-def bench_serving(on_tpu: bool) -> float:
+def bench_serving(on_tpu: bool) -> dict:
     """Device-side u8 serving rate: SR forward + enhance-free uint8
     quantization in one executable, host fetch of uint8 frames."""
     import numpy as np

@@ -234,6 +234,13 @@ class TrainConfig:
     # one-curve-per-rank files (``train.py:123-137``). Default off = per-host
     # parity.
     reduce_metrics: bool = False
+    # Multi-process runs agree on batch-boundary preemption stops via a
+    # cross-host OR every N batches (Trainer._should_stop) — per-batch
+    # host-side collectives would serialize the lagged dispatch pipeline,
+    # while the stop decision must still be collective (a host-local break
+    # would deadlock the other hosts' collective steps). Single-process
+    # runs check the local flag every batch and ignore this knob.
+    stop_sync_every_batches: int = 8
     # Preemption-safe periodic checkpointing: snapshot the full state every
     # N epochs (0 = end-of-run only, the reference's behavior,
     # ``train.py:123-125``). ``Trainer.train(resume=True)`` continues the

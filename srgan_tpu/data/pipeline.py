@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as futures
+import sys
 from typing import Iterator, Sequence, Tuple
 
 import jax
@@ -131,16 +132,33 @@ class HostBatcher:
 
     def batches(self, indices: np.ndarray) -> Iterator[np.ndarray]:
         n_full = len(indices) // self.batch_size
+        last_good = None
         for b in range(n_full):
             chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
             batch, ok = self.decode_many(chunk)
             if not ok.any():
+                # A fully-corrupt batch must NOT change the number of
+                # yielded batches: on multi-process runs every host has to
+                # dispatch the same number of collective train steps (one
+                # host running fewer batches deadlocks the others — the
+                # same invariant EpochSampler enforces on indices), and
+                # steps_per_epoch() promises n_full either way. Substitute
+                # the previous good batch (or zeros if the epoch STARTS
+                # corrupt) instead of dropping.
+                print(
+                    f"warning: batch {b}: all {len(chunk)} files failed to "
+                    "decode; repeating previous batch",
+                    file=sys.stderr,
+                )
+                yield (last_good if last_good is not None
+                       else np.zeros_like(batch))
                 continue
             if not ok.all():
                 # corrupt-file skip with static shapes: refill bad slots
                 good = np.flatnonzero(ok)
                 for bad in np.flatnonzero(~ok):
                     batch[bad] = batch[good[bad % len(good)]]
+            last_good = batch
             yield batch
 
     def close(self):

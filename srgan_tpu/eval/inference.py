@@ -181,6 +181,7 @@ class Upscaler:
         tile: int = 256,
         overlap: int = 16,
         batch_size: int = 16,
+        fetch_u8: bool = False,
     ) -> np.ndarray:
         """Arbitrary-size SR with O(1) compiled executables and bounded HBM.
 
@@ -211,6 +212,16 @@ class Upscaler:
         Memory is bounded by ``batch_size`` tiles regardless of image size,
         so a wall-poster input that could never fit the direct path streams
         through in constant HBM.
+
+        ``fetch_u8=True`` quantizes each SR tile ON DEVICE
+        (``infer_step_u8``) and fetches uint8 — 4x less device→host traffic,
+        the serving bottleneck on thin host links (CLAUDE.md: ~20 MB/s
+        tunnel). Tiles are dequantized for the feather blend, so the result
+        stays float; wherever tiling is exact (see above) neighboring tiles
+        quantize identically and the blend of equal values reproduces them,
+        so the final uint8 frame matches the direct ``upscale_u8`` path
+        bit-for-bit there. Elsewhere the extra error is bounded by the
+        quantization step (±1 LSB after re-quantization).
         """
         arr = to_float01(image)
         if arr.ndim != 3:
@@ -288,7 +299,10 @@ class Upscaler:
                     [batch, np.repeat(batch[:1],
                                       batch_size - len(chunk), axis=0)]
                 )
-            sr = self.upscale(batch)  # one executable: static tile shape
+            if fetch_u8:  # one executable either way: static tile shape
+                sr = self.upscale_u8(batch).astype(np.float32) / 255.0
+            else:
+                sr = self.upscale(batch)
             for (y, x), out in zip(chunk, sr):
                 win = np.outer(
                     profile(y > 0, y + tile < hp),
@@ -473,9 +487,20 @@ def upscale_directory(
                     fut = decoder.submit(decode, h, w, chunks[ci + 1])
                 if not len(batch):
                     continue
+                # Pad short batches (tail chunk, or decode skips) to the
+                # full batch shape: each direct bucket then traces exactly
+                # ONE executable — a short tail would otherwise compile a
+                # second one per bucket. Padding rows repeat image 0 and
+                # are dropped after SR.
+                n_real = len(batch)
+                if n_real < batch_size:
+                    batch = np.concatenate(
+                        [batch,
+                         np.repeat(batch[:1], batch_size - n_real, axis=0)]
+                    )
                 # uint8 off the device: quantization runs in the SR
                 # executable, host link carries 4x fewer bytes.
-                sr_u8 = upscaler.upscale_u8(batch)
+                sr_u8 = upscaler.upscale_u8(batch)[:n_real]
                 out_paths = [os.path.join(output_dir, f) for f in names]
                 submit_write(sr_u8, out_paths)
 
@@ -488,8 +513,10 @@ def upscale_directory(
             sr = upscaler.upscale_tiled(
                 batch[0], tile=tile, batch_size=tile_batch,
                 overlap=min(tile_overlap, tile // 2),
+                fetch_u8=True,  # u8 tiles over the host link, like direct
             )
-            # host-side quantization, bit-matching infer_step_u8's formula
+            # host-side re-quantization, bit-matching infer_step_u8's
+            # formula (identity on the u8-fetched tile values k/255)
             sr_u8 = np.floor(np.clip(sr, 0.0, 1.0) * 255.0 + 0.5).astype(
                 np.uint8
             )[None]

@@ -113,6 +113,22 @@ def process_shard_info() -> tuple:
     return jax.process_count(), jax.process_index()
 
 
+def any_process_flag(flag: bool) -> bool:
+    """Cross-host OR of a per-host boolean (identity when single-process).
+
+    Used to turn host-local events (e.g. a SIGTERM delivered to one host)
+    into a COLLECTIVE decision: every process must call this at the same
+    point, and every process receives the same answer — a host-local break
+    out of a loop of collective train steps would deadlock the others."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    v = np.asarray([1.0 if flag else 0.0], np.float32)
+    gathered = np.asarray(multihost_utils.process_allgather(v))
+    return bool(gathered.max() > 0.0)
+
+
 _NO_REDUCE_KEYS = ("epoch",)  # identical across hosts by construction
 
 

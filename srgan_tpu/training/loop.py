@@ -95,6 +95,7 @@ class Trainer:
         # (bench scripts drive it without train()).
         self._stop_requested = False
         self._epoch_interrupted = False
+        self._n_processes = jax.process_count()
         # Pools with >1 member execute vmap-stacked by default: one fused
         # step updates every member (srgan_tpu.training.stacked_pool).
         self.use_stacked = cfg.pool.stacked and cfg.pool.num_generators > 1
@@ -224,6 +225,28 @@ class Trainer:
             [m.pixel_updates for m in self.pool.members], np.int64
         )
 
+    def _should_stop(self, batch_idx: int) -> bool:
+        """Batch-boundary preemption check.
+
+        Single-process: the host-local ``_stop_requested`` flag, checked
+        every batch. Multi-process: the decision MUST be collective — a
+        host-local break out of a loop of collective train steps would
+        leave every other host blocked in the next step's dispatch (the
+        same invariant the data pipeline enforces for batch counts). So
+        hosts agree via a cross-host OR (``mesh.any_process_flag``), and
+        only at every ``stop_sync_every_batches``-th boundary so the
+        host-side allgather doesn't serialize the lagged dispatch pipeline.
+        All hosts evaluate the same ``batch_idx`` sequence, call the
+        collective at the same boundaries, and receive the same answer —
+        they stop together or not at all."""
+        if self._n_processes == 1:
+            return self._stop_requested
+        if batch_idx % self.cfg.train.stop_sync_every_batches:
+            return False
+        from srgan_tpu.parallel.mesh import any_process_flag
+
+        return any_process_flag(self._stop_requested)
+
     def _train_epoch_stacked(self, pipeline: TrainPipeline, epoch: int) -> dict:
         """One epoch with the whole pool updated by a single fused step per
         batch (srgan_tpu.training.stacked_pool)."""
@@ -299,7 +322,7 @@ class Trainer:
             )
 
         for hr, lr_imgs in pipeline.epoch(epoch, epoch_key):
-            if self._stop_requested:
+            if self._should_stop(n_batches):
                 # Batch-granularity preemption stop: flagship epochs run
                 # minutes — longer than common 30-90 s eviction grace
                 # windows — so don't wait for the epoch boundary (ADVICE
@@ -436,7 +459,7 @@ class Trainer:
                 )
 
         for hr, lr_imgs in pipeline.epoch(epoch, epoch_key):
-            if self._stop_requested:
+            if self._should_stop(n_batches):
                 # Batch-granularity preemption stop (see the stacked loop).
                 self._epoch_interrupted = True
                 break
@@ -787,7 +810,17 @@ class Trainer:
                     f"psnr={psnr:.3f} ssim={ssim:.4f} "
                     f"({train_metrics['images_per_sec']:.1f} img/s)"
                 )
-                if self._stop_requested:
+                # Epoch-boundary stop (a SIGTERM that landed after the last
+                # in-epoch sync point). Must be COLLECTIVE for the same
+                # reason as _should_stop: a host stopping alone would leave
+                # the others dispatching collective steps into the void —
+                # and the orbax save below itself barriers across hosts.
+                stop_now = self._stop_requested
+                if self._n_processes > 1:
+                    from srgan_tpu.parallel.mesh import any_process_flag
+
+                    stop_now = any_process_flag(self._stop_requested)
+                if stop_now:
                     self._sync_pool_from_stacked()
                     ckpt.wait_for_checkpoints()
                     ckpt.save_checkpoint(

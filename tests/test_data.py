@@ -160,6 +160,35 @@ class TestTrainPipeline:
         pipe_c.close()
         pipe_s.close()
 
+    def test_fully_corrupt_batch_substituted_not_dropped(self, tmp_path):
+        """A batch whose every file fails to decode must still be yielded
+        (previous good batch, or zeros at epoch start): dropping it would
+        desync per-host batch counts on multi-process runs — one host
+        running fewer collective steps deadlocks the others — and break
+        the steps_per_epoch() contract."""
+        from srgan_tpu.data.pipeline import HostBatcher
+        from srgan_tpu.data.dataset import ImageFolderDataset
+
+        folder = str(tmp_path / "train")
+        _make_images(folder, 2)  # img_0.png, img_1.png (sorted first)
+        for name in ("z_bad0.png", "z_bad1.png"):  # sorted last
+            with open(os.path.join(folder, name), "wb") as f:
+                f.write(b"not an image")
+        ds = ImageFolderDataset(folder, hr_size=(16, 16))
+        batcher = HostBatcher(ds, batch_size=2, num_workers=1)
+
+        # corrupt chunk FIRST: no prior good batch -> zeros substitute
+        got = list(batcher.batches(np.array([2, 3, 0, 1])))
+        assert len(got) == 2
+        assert not got[0].any()
+        assert got[1].any()
+
+        # corrupt chunk SECOND: previous good batch repeated
+        got = list(batcher.batches(np.array([0, 1, 2, 3])))
+        assert len(got) == 2
+        np.testing.assert_array_equal(got[0], got[1])
+        batcher.close()
+
     def test_cache_corrupt_rows_dropped(self, tmp_path):
         folder = str(tmp_path / "train")
         _make_images(folder, 4)

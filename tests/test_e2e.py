@@ -488,3 +488,61 @@ class TestEndToEnd:
         assert losses == sorted(losses)
         assert all(np.isfinite(l) for l in losses)
         assert len(last["pool"]) == 3
+
+
+class TestCollectiveStop:
+    """Batch-boundary preemption must be a COLLECTIVE decision on
+    multi-process runs (Trainer._should_stop): a host-local break out of a
+    loop of collective train steps would deadlock the other hosts."""
+
+    def _trainer(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path, num_epochs=1)
+        return Trainer(cfg, use_mesh=False)
+
+    def test_single_process_checks_every_batch(self, tmp_path):
+        t = self._trainer(tmp_path)
+        assert t._n_processes == 1
+        assert not t._should_stop(0)
+        t._stop_requested = True
+        # no sync cadence single-process: any batch index stops immediately
+        assert t._should_stop(3)
+        assert t._should_stop(8)
+
+    def test_multi_process_stops_only_at_sync_boundaries(
+        self, tmp_path, monkeypatch
+    ):
+        from srgan_tpu.parallel import mesh
+
+        t = self._trainer(tmp_path)
+        t._n_processes = 2  # simulate a 2-host run
+        calls = []
+
+        def fake_allgather_or(flag):
+            calls.append(bool(flag))
+            return bool(flag)
+
+        monkeypatch.setattr(mesh, "any_process_flag", fake_allgather_or)
+        t._stop_requested = True
+        sync = t.cfg.train.stop_sync_every_batches
+        # off-boundary: no collective issued, no stop — hosts with and
+        # without the local flag must take the SAME branch here
+        assert not t._should_stop(sync - 1)
+        assert calls == []
+        # boundary: the collective runs and all hosts stop together
+        assert t._should_stop(sync)
+        assert calls == [True]
+
+    def test_multi_process_peer_signal_stops_this_host(
+        self, tmp_path, monkeypatch
+    ):
+        """The OTHER host got the SIGTERM: the collective OR must stop this
+        one too, even though its local flag is clear."""
+        from srgan_tpu.parallel import mesh
+
+        t = self._trainer(tmp_path)
+        t._n_processes = 2
+        monkeypatch.setattr(
+            mesh, "any_process_flag", lambda flag: True  # peer says stop
+        )
+        assert not t._stop_requested
+        assert t._should_stop(0)

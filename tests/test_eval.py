@@ -285,6 +285,37 @@ class TestUpscaleDirectory:
         assert Image.open(str(dst / "im0.png")).size == (16, 16)
         assert Image.open(str(dst / "im2.png")).size == (20, 24)
 
+    def test_direct_tail_chunk_pads_to_one_executable(self, tmp_path, rng):
+        """A direct bucket whose file count is NOT a multiple of batch_size
+        must still present ONE batch shape to the SR forward: the tail
+        chunk is padded (and the padding rows dropped), otherwise every
+        bucket costs a second trace for its remainder shape."""
+        from srgan_tpu.eval.inference import upscale_directory
+
+        src = tmp_path / "in"
+        dst = tmp_path / "out"
+        src.mkdir()
+        for i in range(5):  # batch_size=2 -> chunks of 2, 2, 1
+            Image.fromarray(
+                rng.integers(0, 255, (8, 8, 3)).astype(np.uint8)
+            ).save(str(src / f"im{i}.png"))
+        up = Upscaler.random_init(
+            ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        )
+        shapes = []
+        orig_u8 = up.upscale_u8
+        up.upscale_u8 = lambda image: (
+            shapes.append(np.asarray(image).shape) or orig_u8(image)
+        )
+        n = upscale_directory(
+            str(src), str(dst), upscaler=up, batch_size=2,
+            min_bucket_for_direct=1,
+        )
+        assert n == 5
+        for i in range(5):
+            assert Image.open(str(dst / f"im{i}.png")).size == (16, 16)
+        assert set(shapes) == {(2, 8, 8, 3)}, shapes
+
     def test_corrupt_files_skipped(self, tmp_path, rng):
         from srgan_tpu.eval.inference import upscale_directory
 
