@@ -289,13 +289,15 @@ def main(argv=None):
 
         from srgan_tpu.eval.inference import Upscaler
 
-        ckpt_dir = os.path.join(args.results_dir, f"{args.prefix}_ckpt")
+        from srgan_tpu.training.checkpoint import latest_ckpt_dir
+
+        ckpt_dir = latest_ckpt_dir(args.results_dir, args.prefix)
         mesh = None
         if args.dp:
             from srgan_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh()
-        if os.path.isdir(ckpt_dir):
+        if ckpt_dir is not None:
             up = Upscaler.from_checkpoint(
                 args.results_dir, args.prefix, enhance_output=args.enhance,
                 mesh=mesh,

@@ -228,7 +228,10 @@ class TrainPipeline:
         if self.cfg.device_cache == "off":
             return False
         h, w = self.cfg.hr_size
-        nbytes = len(self.dataset) * h * w * 3
+        # Budget against what actually gets cached: the sampler's index set
+        # (the train split) — held-out rows are never drawn, never cached,
+        # and must not disqualify a split that would fit.
+        nbytes = len(self.sampler.indices) * h * w * 3
         if self.cfg.device_cache == "on":
             return True
         return nbytes <= self.cfg.device_cache_budget_bytes
@@ -236,11 +239,15 @@ class TrainPipeline:
     def _ensure_device_cache(self):
         if self._device_dataset is not None:
             return self._device_dataset
-        all_idx = np.arange(len(self.dataset))
-        batch, ok = self.batcher.decode_many(all_idx)
+        # Cache exactly the rows the sampler can draw. With host-sharded
+        # sampling every epoch re-deals the SAME split across hosts, so the
+        # union over epochs is the full split on every host — the cache is
+        # replicated, and the split set is host-independent by construction.
+        cache_idx = np.asarray(self.sampler.indices)
+        batch, ok = self.batcher.decode_many(cache_idx)
         rows = batch[ok]
         self._row_of = np.full(len(self.dataset), -1, np.int64)
-        self._row_of[all_idx[ok]] = np.arange(len(rows))
+        self._row_of[cache_idx[ok]] = np.arange(len(rows))
         if self.sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -267,7 +274,19 @@ class TrainPipeline:
         dataset = self._ensure_device_cache()
         indices = self.sampler.epoch_indices(epoch)
         rows = self._row_of[indices]
-        rows = rows[rows >= 0]  # corrupt-file skip
+        bad = rows < 0
+        if bad.any():
+            good = rows[~bad]
+            if len(good):
+                # Corrupt-file skip WITHOUT changing the batch count:
+                # steps_per_epoch() promises len(indices)//b batches, and
+                # multi-host runs require identical counts on every host
+                # (collective steps) — so substitute good rows for bad
+                # slots, mirroring HostBatcher.batches()'s refill.
+                rows = rows.copy()
+                rows[bad] = good[np.arange(int(bad.sum())) % len(good)]
+            else:
+                rows = good  # every sampled file corrupt: nothing to run
         multiprocess = jax.process_count() > 1
         if multiprocess:
             # Corrupt files may fall unevenly across shards; hosts must run
@@ -289,6 +308,11 @@ class TrainPipeline:
                 # on its devices; the gather of the replicated HBM cache is
                 # then communication-free under GSPMD.
                 idx = put_global(chunk, self.sharding)
+            elif self.sharding is not None:
+                # Single-process mesh: commit the indices batch-sharded so
+                # the gather output IS batch-sharded — no per-batch
+                # reshard of the full hr/lr tensors afterwards.
+                idx = jax.device_put(jnp.asarray(chunk), self.sharding)
             else:
                 idx = jnp.asarray(chunk)
             step_key = jax.random.fold_in(key, step)

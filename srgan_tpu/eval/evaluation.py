@@ -67,9 +67,11 @@ def evaluate_model(
     padding is zero and the metrics match the per-size path numerically."""
     eval_data = PairedImageDataset(dataset, lr_path, hr_path)
     if upscaler is None:
+        from srgan_tpu.training.checkpoint import latest_ckpt_dir
+
         if torch_checkpoint is not None:
             upscaler = Upscaler.from_torch_checkpoint(torch_checkpoint)
-        elif os.path.isdir(os.path.join(results_dir, f"{prefix}_ckpt")):
+        elif latest_ckpt_dir(results_dir, prefix) is not None:
             upscaler = Upscaler.from_checkpoint(results_dir, prefix)
         else:
             upscaler = Upscaler.random_init()

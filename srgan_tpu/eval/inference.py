@@ -369,12 +369,13 @@ def upscale_directory(
     from srgan_tpu.data.dataset import list_image_files
 
     if upscaler is None:
-        ckpt_dir = os.path.join(results_dir, f"{prefix}_ckpt")
+        from srgan_tpu.training.checkpoint import latest_ckpt_dir
+
         upscaler = (
             Upscaler.from_checkpoint(
                 results_dir, prefix, enhance_output=enhance_output, mesh=mesh
             )
-            if os.path.isdir(ckpt_dir)
+            if latest_ckpt_dir(results_dir, prefix) is not None
             else Upscaler.random_init(enhance_output=enhance_output, mesh=mesh)
         )
     os.makedirs(output_dir, exist_ok=True)

@@ -51,6 +51,11 @@ def make_shardmap_pixel_step(mesh: Mesh, apply_fn, axis: str = "data"):
         (loss, aux), grads = jax.value_and_grad(
             generator_pixel_loss_fn, has_aux=True
         )(params, apply_fn, hr, lr_imgs)
+        # aux carries the full SR image batch for the jit path's D-update
+        # handoff — per-shard IMAGES must never be pmean'd (averaging
+        # different images cross-shard yields garbage with a wrong global
+        # shape); scalar metrics are the only thing reduced here.
+        del aux["sr"]
         # THE all-reduce: mean of per-shard grads == global-batch gradient
         # (each shard's loss is a mean over its slice; shards are equal-size)
         grads = jax.lax.pmean(grads, axis)
@@ -75,6 +80,7 @@ def make_shardmap_pixel_step(mesh: Mesh, apply_fn, axis: str = "data"):
             "g_loss": loss,
             "com_loss": aux["com_loss"],
             "tv_loss": aux["tv_loss"],
+            "p_loss": aux["p_loss"],  # same metric contract as the jit step
             "g_d_loss": jnp.zeros(()),
         }
         return new_state, metrics

@@ -144,10 +144,16 @@ def _reducible(key: str, value) -> bool:
 def combine_host_metrics(per_host: list) -> dict:
     """Merge per-host metric dicts: finite numeric scalars (floats and int
     counters alike) are averaged across hosts; everything else (the epoch
-    counter, pool snapshots, strings) is taken from host 0 verbatim.
-    Int-typed values whose mean is integral stay ints (hosts run equal
-    batch counts by construction — ``EpochSampler`` truncates shards to a
-    common length)."""
+    counter, pool snapshots, strings) comes from ``per_host[0]``. NOTE:
+    when called from :func:`reduce_metrics`, every entry of ``per_host``
+    spreads the CALLING host's dict (only the scalar keys differ per row),
+    so non-reduced fields are the local host's values, not host 0's — they
+    are identical across hosts in normal operation (lockstep pool
+    bookkeeping), but a host-local divergence (e.g. a NaN entering one
+    host's loss EMA) stays visible in that host's record rather than being
+    masked by host 0's copy. Int-typed values whose mean is integral stay
+    ints (hosts run equal batch counts by construction — ``EpochSampler``
+    truncates shards to a common length)."""
     base = per_host[0]
     out = dict(base)
     for k, v in base.items():

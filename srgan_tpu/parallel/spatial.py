@@ -33,6 +33,19 @@ def upscale_spatially_sharded(
     Params are replicated; the input/output batch is sharded on the width
     dimension, so each device holds a vertical stripe and peak per-device
     activation memory drops by the mesh size.
+
+    Exactness: when ``W % mesh_size == 0`` the sharded program is the
+    identical computation (GSPMD halo exchange) and the output matches the
+    single-device result (tested). Otherwise the width is edge-padded up
+    to divisibility first, which is an APPROXIMATION near the true right
+    border: conv stencils within the receptive field of column ``W-1`` see
+    replicated-edge context instead of the model's own zero SAME padding,
+    and GroupNorm statistics include the padded stripe (a GLOBAL shift).
+    For ``norm="none"`` models the interior (outside the pad's receptive
+    field) remains bit-exact; for GroupNorm models the interior moves by
+    the stats shift — proportional to the pad fraction, negligible for
+    trained models at realistic sizes
+    (``tests/test_parallel.py::test_non_divisible_width``).
     """
     if mesh is None:
         mesh = Mesh(np.asarray(jax.devices()), (axis,))

@@ -45,8 +45,95 @@ def wait_for_checkpoints() -> None:
         _async_ckptr.wait_until_finished()
 
 
-def _ckpt_dir(results_dir: str, prefix: str) -> str:
+def _ckpt_base(results_dir: str, prefix: str) -> str:
     return os.path.abspath(os.path.join(results_dir, f"{prefix}_ckpt"))
+
+
+def _committed_ckpt_dirs(results_dir: str, prefix: str) -> list:
+    """Committed snapshot dirs for ``prefix``, oldest → newest.
+
+    Snapshots are written to VERSIONED dirs (``{prefix}_ckpt@{epoch}`` or
+    ``...@{epoch}.{k}`` when that epoch was snapshotted before) and never
+    overwritten in place: orbax's ``force=True`` deletes the existing dir
+    at save-START, so a hard kill during the (minutes-long, background)
+    write would leave NO restorable checkpoint — exactly the window
+    ``checkpoint_every`` preemption safety exists to close. Old snapshots
+    are garbage-collected only AFTER a newer one has committed (orbax
+    commits via atomic rename, so a directory bearing its final name is
+    complete). The unversioned ``{prefix}_ckpt`` name written by earlier
+    builds is still recognized, ordered before any versioned snapshot."""
+    base = f"{prefix}_ckpt"
+    out = []
+    if not os.path.isdir(results_dir):
+        return out
+    for name in os.listdir(results_dir):
+        if not name.startswith(base) or ".orbax-checkpoint-tmp" in name:
+            continue
+        if name == base:
+            key = (-1, -1)  # legacy fixed-name checkpoint: oldest
+        elif name.startswith(base + "@"):
+            epoch_s, _, k_s = name[len(base) + 1:].partition(".")
+            try:
+                key = (int(epoch_s), int(k_s or 0))
+            except ValueError:
+                continue
+        else:
+            continue  # e.g. a different prefix sharing the stem
+        out.append((key, os.path.join(results_dir, name)))
+    return [os.path.abspath(p) for _, p in sorted(out)]
+
+
+def latest_ckpt_dir(results_dir: str, prefix: str) -> Optional[str]:
+    """Newest committed snapshot dir for ``prefix`` (None if no snapshot
+    exists). The path existence probe for resume/eval/inference surfaces."""
+    dirs = _committed_ckpt_dirs(results_dir, prefix)
+    return dirs[-1] if dirs else None
+
+
+def _next_ckpt_dir(results_dir: str, prefix: str, epoch: int) -> str:
+    """A fresh (non-existing) versioned dir name for this snapshot.
+
+    Multi-process: host 0 alone probes the shared filesystem and
+    BROADCASTS its choice — every host must save into the same dir, and
+    independent existence probes could race host 0's garbage collection of
+    an old same-epoch snapshot (one host seeing it pre-delete, another
+    post-delete, would split the collective orbax save across two paths
+    and deadlock it). The broadcast is itself a collective all hosts enter
+    at this same logical point."""
+    import jax
+
+    base = _ckpt_base(results_dir, prefix)
+
+    def probe() -> int:
+        k = 0
+        while os.path.exists(f"{base}@{epoch}" + (f".{k}" if k else "")):
+            k += 1
+        return k
+
+    if jax.process_count() > 1:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        k = probe() if jax.process_index() == 0 else 0
+        k = int(multihost_utils.broadcast_one_to_all(np.int32(k)))
+    else:
+        k = probe()
+    return f"{base}@{epoch}" + (f".{k}" if k else "")
+
+
+def _gc_old_ckpts(results_dir: str, prefix: str, keep: str) -> None:
+    """Delete committed snapshots other than ``keep`` (host 0 only — the
+    results_dir is shared storage on multi-host runs)."""
+    import shutil
+
+    import jax
+
+    if jax.process_index() != 0:
+        return
+    keep = os.path.abspath(keep)
+    for path in _committed_ckpt_dirs(results_dir, prefix):
+        if path != keep:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def save_checkpoint(
@@ -64,8 +151,19 @@ def save_checkpoint(
     in a JSON sidecar so inference can rebuild the right model without the
     training config (the reference cannot: its ``.pth`` files carry no
     architecture info and eval hardcodes ``SRResNet()``,
-    ``src/evaluation.py:23``)."""
-    path = _ckpt_dir(results_dir, prefix)
+    ``src/evaluation.py:23``).
+
+    Crash safety: each snapshot goes to a fresh versioned dir and prior
+    snapshots are deleted only after a newer one committed (see
+    ``_committed_ckpt_dirs``) — at every instant at least one complete
+    checkpoint exists on disk, whatever signal arrives mid-write."""
+    # Settle any in-flight async snapshot BEFORE picking the new dir name
+    # (its commit must be visible) and before a blocking writer could race
+    # it. Folding the wait in here, rather than trusting every call site
+    # to remember it, also closes the two-concurrent-writers hazard.
+    wait_for_checkpoints()
+    path = _next_ckpt_dir(results_dir, prefix, epoch)
+    prev = latest_ckpt_dir(results_dir, prefix)
     if model_config is not None:
         import jax
 
@@ -93,16 +191,22 @@ def save_checkpoint(
         }
     if block:
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, payload, force=True)
+        ckptr.save(path, payload)
         ckptr.wait_until_finished()
+        # Committed: older snapshots are now redundant.
+        _gc_old_ckpts(results_dir, prefix, keep=path)
     else:
         # Periodic mid-training snapshot: arrays are staged to host
         # synchronously inside save(), then written to disk on the
-        # background thread while training continues. Serialize against
-        # any previous in-flight save first (same directory).
+        # background thread while training continues. The PREVIOUS
+        # committed snapshot (``prev``) is garbage-collected now — it is
+        # older than the one whose commit wait_for_checkpoints() just
+        # confirmed — while that newest committed one survives until this
+        # in-flight save commits in its turn.
+        if prev is not None:
+            _gc_old_ckpts(results_dir, prefix, keep=prev)
         ckptr = _get_async_checkpointer()
-        ckptr.wait_until_finished()
-        ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
+        ckptr.save(path, args=ocp.args.StandardSave(payload))
     return path
 
 
@@ -189,7 +293,12 @@ def restore_checkpoint(
     import jax
     import jax.numpy as jnp
 
-    path = _ckpt_dir(results_dir, prefix)
+    path = latest_ckpt_dir(results_dir, prefix)
+    if path is None:
+        raise FileNotFoundError(
+            f"no committed checkpoint for prefix '{prefix}' in "
+            f"{results_dir} (looked for {prefix}_ckpt[@epoch] dirs)"
+        )
     ckptr = ocp.StandardCheckpointer()
     disk_tree = _ondisk_tree(ckptr, path)
     d_meta = _ondisk_has_discriminator(disk_tree)
@@ -294,7 +403,11 @@ def load_model_config(results_dir: str, prefix: str) -> Optional[ModelConfig]:
 def restore_generator_params(results_dir: str, prefix: str, index: int = 0):
     """Raw (template-free) restore of one generator's params — the light
     path for inference, no optimizer state or Trainer needed."""
-    path = _ckpt_dir(results_dir, prefix)
+    path = latest_ckpt_dir(results_dir, prefix)
+    if path is None:
+        raise FileNotFoundError(
+            f"no committed checkpoint for prefix '{prefix}' in {results_dir}"
+        )
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(path)
     params = restored["generators"][index]["params"]

@@ -82,7 +82,8 @@ class TestEndToEnd:
         assert os.path.exists(os.path.join(rd, "Training_metrics.jsonl"))
         assert os.path.exists(os.path.join(rd, "Trainingtraining_loss_curve_0.png"))
         assert any("comparison" in f for f in os.listdir(rd))
-        assert os.path.isdir(os.path.join(rd, "Training_ckpt"))
+        from srgan_tpu.training.checkpoint import latest_ckpt_dir
+        assert latest_ckpt_dir(rd, "Training") is not None
         with open(os.path.join(rd, "Training_metrics.jsonl")) as f:
             records = [json.loads(l) for l in f]
         assert len(records) == 3
@@ -99,8 +100,10 @@ class TestEndToEnd:
         assert trainer2.cfg.train.run_prefix == "Post-Training"
         assert trainer2.cfg.train.lr_generator == pytest.approx(2e-5)
         assert np.isfinite(last["g_loss"])
+        from srgan_tpu.training.checkpoint import latest_ckpt_dir
+
         rd = cfg.train.results_dir
-        assert os.path.isdir(os.path.join(rd, "Post-Training_ckpt"))
+        assert latest_ckpt_dir(rd, "Post-Training") is not None
 
     def test_gan_training_runs(self, tmp_path, data_dirs):
         """BASELINE config 2 shape: generator + discriminator adversarial
@@ -207,10 +210,11 @@ class TestEndToEnd:
         cfg = _tiny_cfg(tmp_path, num_epochs=2, keep_best=True)
         Trainer(cfg, use_mesh=False).train(train_dir, val_dir)
         ckpt.wait_for_checkpoints()
-        best_dir = os.path.join(
-            cfg.train.results_dir, "Training-best_ckpt"
-        )
-        assert os.path.isdir(best_dir)
+        from srgan_tpu.training.checkpoint import latest_ckpt_dir
+
+        assert latest_ckpt_dir(
+            cfg.train.results_dir, "Training-best"
+        ) is not None
         up = Upscaler.from_checkpoint(
             cfg.train.results_dir, "Training-best"
         )

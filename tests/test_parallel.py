@@ -159,13 +159,47 @@ class TestSpatialSharding:
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
     def test_non_divisible_width(self, rng):
+        """Non-divisible widths are edge-padded before sharding — an
+        APPROXIMATION (see the docstring): conv stencils near the true
+        right border see replicated-edge context, and GroupNorm statistics
+        include the padded stripe (a GLOBAL shift, so even interior pixels
+        move for GN models). Pin both halves of the claim: a norm-free
+        model is exact outside the pad's receptive field, and the GN model
+        stays bounded everywhere."""
         from srgan_tpu.parallel.spatial import upscale_spatially_sharded
 
-        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
-        model, params = init_generator(cfg, jax.random.key(0), sample_hw=(16, 16))
         img = rng.random((16, 37, 3)).astype(np.float32)  # 37 % 8 != 0
+
+        # norm="none": purely convolutional -> interior columns (outside
+        # the pad's receptive field) match the single-device output
+        cfg = ModelConfig(num_features=8, num_residuals=1,
+                          upscale_factor=2, norm="none")
+        model, params = init_generator(cfg, jax.random.key(0), sample_hw=(16, 16))
         got = upscale_spatially_sharded(model.apply, params, img)
         assert got.shape == (32, 74, 3)
+        want = np.asarray(
+            model.apply({"params": params}, jnp.asarray(img)[None])
+        )[0]
+        np.testing.assert_allclose(
+            got[:, :40], want[:, :40], rtol=1e-4, atol=1e-5
+        )
+        # the contaminated margin deviates freely on random weights — the
+        # claim is only that contamination stays CONFINED to the margin
+        assert float(np.abs(got[:, :40] - want[:, :40]).max()) < 1e-4
+
+        # GroupNorm flagship norm: the stats shift is global — bounded
+        # deviation only (random weights amplify it; trained models sit
+        # far tighter)
+        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        model, params = init_generator(cfg, jax.random.key(0), sample_hw=(16, 16))
+        got = upscale_spatially_sharded(model.apply, params, img)
+        want = np.asarray(
+            model.apply({"params": params}, jnp.asarray(img)[None])
+        )[0]
+        assert np.isfinite(got).all()
+        # the pad-margin error dominates; the interior moves only via the
+        # global stats shift
+        assert float(np.abs(got[:, :40] - want[:, :40]).max()) < 0.3
 
 
 class TestMeshTrainer:
@@ -198,7 +232,8 @@ class TestMeshTrainer:
         assert trainer.mesh is not None and trainer.mesh.devices.size == 8
         last = trainer.train(str(folder), str(folder))
         assert np.isfinite(last["g_loss"])
-        assert os.path.isdir(os.path.join(cfg.train.results_dir, "Training_ckpt"))
+        from srgan_tpu.training.checkpoint import latest_ckpt_dir
+        assert latest_ckpt_dir(cfg.train.results_dir, "Training") is not None
 
 
 class TestMeshStackedPool:

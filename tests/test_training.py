@@ -444,6 +444,67 @@ class TestCheckpoint:
         got = jax.tree.map(np.asarray, restored_pool.members[0].state.params)
         jax.tree.map(np.testing.assert_array_equal, got, saved)
 
+    def test_versioned_snapshots_never_overwrite_in_place(self, tmp_path):
+        """Crash-safety invariant: a snapshot is NEVER deleted before a
+        newer one has committed. Each save lands in a fresh versioned dir
+        (a hard kill mid-write can only lose the in-flight one); committed
+        predecessors are garbage-collected only afterwards, and restore
+        reads the newest committed snapshot."""
+        import os
+
+        from srgan_tpu.training import checkpoint as ckpt
+
+        model, params = _tiny_gen()
+        pool = GeneratorPool(
+            [PoolMember(TrainState.create(apply_fn=model.apply,
+                                          params=params))],
+            PoolConfig(),
+        )
+
+        p1 = ckpt.save_checkpoint(
+            str(tmp_path), "V", pool=pool, d_state=None, epoch=1
+        )
+        assert os.path.basename(p1) == "V_ckpt@1"
+        # async save: the previous committed snapshot must survive until
+        # this one commits (it is the only restorable state meanwhile)
+        p2 = ckpt.save_checkpoint(
+            str(tmp_path), "V", pool=pool, d_state=None, epoch=2,
+            block=False,
+        )
+        assert os.path.isdir(p1)
+        ckpt.wait_for_checkpoints()
+        # next (blocking) save GCs everything older after it commits
+        p3 = ckpt.save_checkpoint(
+            str(tmp_path), "V", pool=pool, d_state=None, epoch=3
+        )
+        assert not os.path.isdir(p1) and not os.path.isdir(p2)
+        assert ckpt.latest_ckpt_dir(str(tmp_path), "V") == p3
+
+        # same-epoch re-save (interrupt -> resume -> interrupt again) gets
+        # a fresh suffixed dir, not an in-place overwrite
+        p3b = ckpt.save_checkpoint(
+            str(tmp_path), "V", pool=pool, d_state=None, epoch=3
+        )
+        assert os.path.basename(p3b) == "V_ckpt@3.1"
+        _, _, epoch = ckpt.restore_checkpoint(
+            str(tmp_path), "V", pool=pool, d_state=None
+        )
+        assert epoch == 3
+
+    def test_latest_ckpt_dir_prefers_versioned_over_legacy(self, tmp_path):
+        import os
+
+        from srgan_tpu.training.checkpoint import latest_ckpt_dir
+
+        assert latest_ckpt_dir(str(tmp_path), "L") is None
+        os.makedirs(str(tmp_path / "L_ckpt"))  # legacy fixed-name dir
+        assert latest_ckpt_dir(str(tmp_path), "L").endswith("L_ckpt")
+        os.makedirs(str(tmp_path / "L_ckpt@4"))
+        os.makedirs(str(tmp_path / "L_ckpt@10"))  # numeric, not lexical
+        # in-flight orbax tmp dirs are not committed snapshots
+        os.makedirs(str(tmp_path / "L_ckpt@11.orbax-checkpoint-tmp-123"))
+        assert latest_ckpt_dir(str(tmp_path), "L").endswith("L_ckpt@10")
+
     def test_finetune_entry(self):
         from srgan_tpu.training.checkpoint import FINETUNE_PREFIX, finetune_entry
 
