@@ -61,6 +61,14 @@ class Discriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if not 1 <= self.num_stages <= 4:
+            # >4 would silently truncate to the 4 defined stages while
+            # min_input_size(num_stages) keeps growing — rejecting legal
+            # inputs for a model that doesn't exist; 0 crashes opaquely.
+            raise ValueError(
+                f"num_stages must be 1..4 (reference stack is 4, "
+                f"src/models.py:90-120), got {self.num_stages}"
+            )
         h, w = x.shape[1], x.shape[2]
         floor = min_input_size(self.num_stages)
         if h < floor or w < floor:

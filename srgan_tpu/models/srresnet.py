@@ -63,6 +63,12 @@ class ResidualBlock(nn.Module):
             return nn.GroupNorm(
                 num_groups=self.group_norm_groups, dtype=self.compute_dtype
             )(x)
+        if self.norm != "none":
+            # a typo ("Group", "groupnorm") must not silently train an
+            # unnormalized architecture and bake itself into the sidecar
+            raise ValueError(
+                f"norm must be 'group' or 'none', got {self.norm!r}"
+            )
         return x
 
 
@@ -143,6 +149,16 @@ class SRResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # Both heads build log2(factor) shuffle stages (and the subpixel
+        # head folds one into its phase conv), so only powers of two >= 2
+        # produce the scale the config claims — upscale_factor=3 would
+        # silently emit 2x frames while eval/tiling trust the field.
+        f = self.upscale_factor
+        if f < 2 or (f & (f - 1)) != 0:
+            raise ValueError(
+                f"upscale_factor must be a power of two >= 2 (2/4/8...), "
+                f"got {f}"
+            )
         x = x.astype(self.compute_dtype)
         out1 = nn.Conv(
             self.num_features, (9, 9), padding=4, dtype=self.compute_dtype
@@ -321,9 +337,7 @@ def fold_phase_conv_to_coarse(k5: jax.Array, b12: jax.Array):
                                             d * 4 + p * 2 + q,
                                             c * 4 + a * 2 + b,
                                         ] = k5[u + 2, v + 2, d, c]
-    import numpy as _np
-
-    b48 = _np.repeat(_np.asarray(b12), 4)
+    b48 = np.repeat(np.asarray(b12), 4)
     return jnp.asarray(k3), jnp.asarray(b48)
 
 

@@ -54,6 +54,14 @@ class VGG19Features(nn.Module):
     @nn.compact
     def __call__(self, x) -> Dict[str, jax.Array]:
         wanted = set(self.layers)
+        known = set(LAYER_NAME_MAPPING.values())
+        if not wanted <= known:
+            # a typo ("conv4_4") would otherwise be silently dropped from
+            # the perceptual objective — a different loss with no warning
+            raise ValueError(
+                f"unknown VGG19 layer name(s) {sorted(wanted - known)}; "
+                f"valid: {sorted(known)}"
+            )
         features: Dict[str, jax.Array] = {}
         x = x.astype(self.compute_dtype)
         torch_idx = 0  # index in torchvision's nn.Sequential
@@ -66,13 +74,11 @@ class VGG19Features(nn.Module):
                 int(item), (3, 3), padding=1, dtype=self.compute_dtype,
                 name=f"conv_{torch_idx}",
             )(x)
-            conv_idx = torch_idx
             torch_idx += 1
             x = nn.relu(x)
             # torchvision: the *post-ReLU* index names the activation
             name = LAYER_NAME_MAPPING.get(torch_idx)
             torch_idx += 1
-            del conv_idx
             if name in wanted:
                 features[name] = x
             if len(features) == len(wanted):

@@ -29,6 +29,21 @@ def _load():
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    try:
+        _bind(lib)
+    except AttributeError:
+        # Stale .so predating the current API (missing version/u8/encoder
+        # symbols): treat as not-built — available() rebuilds once, and
+        # every caller must survive a None here (PIL fallback), not crash
+        # on a missing attribute.
+        return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib) -> None:
+    """Declare every exported symbol's signature; raises AttributeError on
+    a library too old to have one of them."""
     lib.srgan_load_image.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float),
@@ -52,38 +67,43 @@ def _load():
     ]
     lib.srgan_load_batch_u8.restype = ctypes.c_int
     lib.srgan_loader_version.restype = ctypes.c_int
-    try:
-        lib.srgan_save_image.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float),
-        ]
-        lib.srgan_save_image.restype = ctypes.c_int
-        lib.srgan_save_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-        ]
-        lib.srgan_save_batch.restype = ctypes.c_int
-        lib.srgan_save_image_u8.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        lib.srgan_save_image_u8.restype = ctypes.c_int
-        lib.srgan_save_batch_u8.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-        ]
-        lib.srgan_save_batch_u8.restype = ctypes.c_int
-    except AttributeError:
-        pass  # stale pre-encoder .so on disk; encoder_available() rebuilds
-    _lib = lib
-    return lib
+    lib.srgan_save_image.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.srgan_save_image.restype = ctypes.c_int
+    lib.srgan_save_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.srgan_save_batch.restype = ctypes.c_int
+    lib.srgan_save_image_u8.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.srgan_save_image_u8.restype = ctypes.c_int
+    lib.srgan_save_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.srgan_save_batch_u8.restype = ctypes.c_int
 
 
 def build() -> bool:
     """Compile the shared library (g++). Returns True on success."""
     script = os.path.join(os.path.dirname(__file__), "build.sh")
+    # Unlink the old .so first: dlopen identifies already-loaded libraries
+    # by (dev, inode), so rebuilding INTO the same inode would make the
+    # post-build CDLL return the stale cached handle (and rewriting a file
+    # that backs live mappings is unsafe). Unlinking keeps existing
+    # mappings alive on the orphaned inode while the build creates a fresh
+    # one that loads as a genuinely new library.
+    try:
+        os.unlink(_LIB_PATH)
+    except OSError:
+        pass
     try:
         subprocess.run(["sh", script], check=True, capture_output=True)
     except (subprocess.CalledProcessError, OSError):

@@ -38,6 +38,20 @@ class TestEvaluation:
         assert np.isfinite(psnr)
         assert -1.0 <= ssim <= 1.0
 
+    def test_missing_checkpoint_warns_loudly(self, tmp_path):
+        """Scoring an untrained network silently would read as the model's
+        quality; the random-weights fallback must warn."""
+        import pytest as _pytest
+
+        root = str(tmp_path)
+        _make_pair_dirs(root, n=1)
+        with _pytest.warns(RuntimeWarning, match="RANDOM"):
+            evaluate_model(
+                root, "LRbicx4", "original",
+                results_dir=str(tmp_path / "no_such_results"),
+                verbose=False,
+            )
+
     def test_extra_downscale_semantics(self, tmp_path):
         """With the reference's ÷4-then-SR quirk, SR output size equals the
         original LR size (``src/evaluation.py:45-46``) — so scoring runs at

@@ -253,3 +253,40 @@ class TestCheckpointPortability:
         a = trees[False][0].apply({"params": trees[False][1]}, x)
         b = trees[True][0].apply({"params": trees[False][1]}, x)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestConfigValidation:
+    """Misconfigurations must fail loudly at init, not train a silently
+    different architecture or emit the wrong scale."""
+
+    def test_bad_norm_string_raises(self):
+        cfg = ModelConfig(num_features=8, num_residuals=1, norm="Group")
+        with pytest.raises(ValueError, match="norm"):
+            init_generator(cfg, jax.random.key(0), sample_hw=(8, 8))
+
+    def test_non_power_of_two_upscale_raises(self):
+        for bad in (1, 3, 6):
+            cfg = ModelConfig(
+                num_features=8, num_residuals=1, upscale_factor=bad
+            )
+            with pytest.raises(ValueError, match="power of two"):
+                init_generator(cfg, jax.random.key(0), sample_hw=(8, 8))
+
+    def test_discriminator_stage_bounds(self):
+        from srgan_tpu.config import DiscriminatorConfig
+        from srgan_tpu.models.discriminator import init_discriminator
+
+        for bad in (0, 5):
+            with pytest.raises(ValueError, match="num_stages"):
+                init_discriminator(
+                    DiscriminatorConfig(num_filters=8, num_stages=bad),
+                    jax.random.key(0), sample_hw=(512, 512),
+                )
+
+    def test_vgg_unknown_layer_raises(self):
+        from srgan_tpu.models.vgg import init_vgg_extractor
+
+        with pytest.raises(ValueError, match="conv4_4"):
+            init_vgg_extractor(
+                jax.random.key(0), layers=("conv3_3", "conv4_4")
+            )
