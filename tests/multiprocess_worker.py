@@ -19,6 +19,12 @@ Modes
 ``reference``  single process × 4 devices emulating the SAME global batch
                order (each global batch = concat of the two host shards'
                local batches) — the params-parity oracle for ``pixel``.
+``sigterm``    like ``pixel`` but effectively endless (200 epochs) with a
+               tight stop-sync cadence; the TEST delivers SIGTERM to host 0
+               only, and BOTH hosts must agree on the stop via the
+               collective OR (Trainer._should_stop), snapshot together, and
+               exit 0 — a host-local break would deadlock the peer in its
+               next collective step.
 
 Invoked by ``tests/test_multiprocess.py``; not a pytest module itself.
 """
@@ -51,6 +57,7 @@ def build_cfg(args, batch_size: int):
     )
 
     gan = args.mode == "gan_pool"
+    sig = args.mode == "sigterm"
     return Config(
         model=ModelConfig(num_features=8, num_residuals=1, upscale_factor=2),
         discriminator=DiscriminatorConfig(num_filters=8, num_stages=2),
@@ -64,9 +71,11 @@ def build_cfg(args, batch_size: int):
         ),
         pool=PoolConfig(num_generators=2 if gan else 1),
         train=TrainConfig(
-            num_epochs=2,
-            validate_every=1,
-            score_max_batches=2,
+            # sigterm mode runs "forever" — the test's signal ends it
+            num_epochs=200 if sig else 2,
+            validate_every=1000 if sig else 1,
+            score_max_batches=1 if sig else 2,
+            stop_sync_every_batches=2,
             results_dir=args.results_dir,
             seed=3,
             use_gan=gan,
@@ -140,7 +149,9 @@ def flat_params(trainer):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=["pixel", "gan_pool", "reference"])
+    p.add_argument(
+        "--mode", choices=["pixel", "gan_pool", "reference", "sigterm"]
+    )
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--port", type=int, default=0)
     p.add_argument("--train-dir", required=True)
@@ -149,7 +160,7 @@ def main():
     p.add_argument("--out", required=True)
     args = p.parse_args()
 
-    multiproc = args.mode in ("pixel", "gan_pool")
+    multiproc = args.mode in ("pixel", "gan_pool", "sigterm")
     if multiproc:
         jax.config.update("jax_num_cpu_devices", LOCAL_DEVICES)
         jax.distributed.initialize(
@@ -204,7 +215,14 @@ def main():
         },
         "pool_meta": last.get("pool"),
     }
-    if multiproc:
+    if args.mode == "sigterm":
+        from srgan_tpu.training.checkpoint import latest_ckpt_dir
+
+        ckpt_dir = latest_ckpt_dir(args.results_dir, "Training")
+        out["ckpt_dir"] = (
+            os.path.basename(ckpt_dir) if ckpt_dir is not None else None
+        )
+    if multiproc and args.mode != "sigterm":
         out["shard_indices"] = shard_indices_epoch0(
             cfg, args.train_dir, N_PROCS, jax.process_index()
         )

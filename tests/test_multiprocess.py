@@ -235,3 +235,80 @@ class TestMultiProcessGanPool:
         p1 = np.load(outs[1] + ".params.npz")
         for f in p0.files:
             np.testing.assert_array_equal(p0[f], p1[f])
+
+
+class TestMultiProcessSigterm:
+    def test_collective_stop_no_deadlock(self, data_dirs, tmp_path):
+        """SIGTERM delivered to ONE host of a live 2-process cluster: the
+        stop must be agreed collectively (Trainer._should_stop's cross-host
+        OR) so BOTH hosts break at the same batch boundary, snapshot
+        together (orbax barriers across hosts), and exit 0. A host-local
+        break would leave the peer blocked forever in its next collective
+        step — this test times out in exactly that case."""
+        import signal
+        import time
+
+        train_dir, val_dir = data_dirs
+        port = _free_port()
+        results_dir = str(tmp_path / "sig_results")
+        procs, outs = [], []
+        for pid in range(2):
+            out = str(tmp_path / f"sig_p{pid}.json")
+            outs.append(out)
+            procs.append(
+                subprocess.Popen(
+                    [
+                        sys.executable, WORKER,
+                        "--mode", "sigterm",
+                        "--process-id", str(pid),
+                        "--port", str(port),
+                        "--train-dir", train_dir,
+                        "--val-dir", val_dir,
+                        "--results-dir", results_dir,
+                        "--out", out,
+                    ],
+                    env=_worker_env(),
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                )
+            )
+        try:
+            # wait for training to be demonstrably under way (>= 1 epoch
+            # record logged by host 0), then SIGTERM host 0 ONLY
+            metrics = os.path.join(results_dir, "Training_metrics.jsonl")
+            deadline = __import__("time").time() + 420
+            while time.time() < deadline:
+                if os.path.exists(metrics) and os.path.getsize(metrics) > 0:
+                    break
+                if any(p.poll() is not None for p in procs):
+                    break  # a worker died early; surface its log below
+                time.sleep(0.5)
+            assert os.path.exists(metrics), "training never produced a record"
+            procs[0].send_signal(signal.SIGTERM)
+            logs = []
+            for p in procs:
+                stdout, _ = p.communicate(timeout=300)
+                logs.append(stdout)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        for pid, (p, log) in enumerate(zip(procs, logs)):
+            assert p.returncode == 0, (
+                f"worker {pid} did not stop cleanly (deadlocked peer?):\n"
+                f"{log[-4000:]}"
+            )
+        results = [json.load(open(o)) for o in outs]
+        r0, r1 = results[0]["record"], results[1]["record"]
+        # both hosts agreed on the SAME stop point
+        assert r0.get("interrupted") == r1.get("interrupted")
+        assert r0["epoch"] == r1["epoch"]
+        if r0.get("interrupted"):
+            assert (
+                r0["interrupted_after_batches"]
+                == r1["interrupted_after_batches"]
+            )
+        # and a committed (versioned) snapshot exists for --resume
+        assert results[0]["ckpt_dir"] is not None
+        assert results[0]["ckpt_dir"] == results[1]["ckpt_dir"]
