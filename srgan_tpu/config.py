@@ -216,6 +216,8 @@ class TrainConfig:
     # else fall back to random features WITH a runtime warning
     # (``models/vgg.py:init_vgg_extractor``).
     vgg_weights_npz: Optional[str] = None
+    # Visual-comparison grids every N epochs (``train.py:233-260``);
+    # 0 (or negative) disables them, matching checkpoint_every's 0=off.
     validate_every: int = 5
     score_max_batches: int = 30  # compute_score cap (``train.py:271-272``)
     # In-epoch live progress line (the reference's per-batch tqdm postfix,

@@ -180,6 +180,26 @@ def _device_prefetch(
         yield queue.popleft()
 
 
+class DeviceCacheBudget:
+    """Shared HBM accounting for ``device_cache="auto"`` pipelines.
+
+    A trainer holds TWO pipelines (train + val); if each checked its own
+    footprint against the full ``device_cache_budget_bytes`` independently,
+    both could auto-enable and together commit 2x the budget. Construct one
+    tracker and pass it to every pipeline: reservations are first-come
+    (construct the train pipeline first — its cache is the hot one).
+    """
+
+    def __init__(self, total_bytes: int):
+        self.remaining = int(total_bytes)
+
+    def try_reserve(self, nbytes: int) -> bool:
+        if nbytes <= self.remaining:
+            self.remaining -= nbytes
+            return True
+        return False
+
+
 class TrainPipeline:
     """End-to-end training input pipeline: yields (hr, lr) device batches.
 
@@ -198,6 +218,7 @@ class TrainPipeline:
         shard_index: int = 0,
         seed: int = 0,
         sharding=None,
+        cache_budget: "DeviceCacheBudget | None" = None,
     ):
         self.cfg = cfg
         self.dataset = ImageFolderDataset(folder, cfg.hr_size)
@@ -215,6 +236,8 @@ class TrainPipeline:
         )
         self.batcher = HostBatcher(self.dataset, cfg.batch_size, cfg.num_workers)
         self.sharding = sharding
+        self.cache_budget = cache_budget
+        self._cache_decision = None   # memoized _cache_wanted (one reserve)
         self._device_dataset = None   # uint8 (rows, H, W, 3) in HBM
         self._row_of = None           # dataset index -> cache row (-1 corrupt)
 
@@ -225,15 +248,25 @@ class TrainPipeline:
         return per_shard // self.cfg.batch_size
 
     def _cache_wanted(self) -> bool:
+        # Memoized: with a shared DeviceCacheBudget the auto decision
+        # RESERVES bytes, and epoch() asks every epoch — deciding once keeps
+        # the reservation single-shot and the answer stable across epochs.
+        if self._cache_decision is None:
+            self._cache_decision = self._decide_cache()
+        return self._cache_decision
+
+    def _decide_cache(self) -> bool:
         if self.cfg.device_cache == "off":
             return False
+        if self.cfg.device_cache == "on":
+            return True
         h, w = self.cfg.hr_size
         # Budget against what actually gets cached: the sampler's index set
         # (the train split) — held-out rows are never drawn, never cached,
         # and must not disqualify a split that would fit.
         nbytes = len(self.sampler.indices) * h * w * 3
-        if self.cfg.device_cache == "on":
-            return True
+        if self.cache_budget is not None:
+            return self.cache_budget.try_reserve(nbytes)
         return nbytes <= self.cfg.device_cache_budget_bytes
 
     def _ensure_device_cache(self):
@@ -245,7 +278,10 @@ class TrainPipeline:
         # replicated, and the split set is host-independent by construction.
         cache_idx = np.asarray(self.sampler.indices)
         batch, ok = self.batcher.decode_many(cache_idx)
-        rows = batch[ok]
+        # batch[ok] copies; on the common no-corruption path keep the
+        # original array — a flagship cache is GBs and the copy would
+        # transiently double host RAM.
+        rows = batch if ok.all() else batch[ok]
         self._row_of = np.full(len(self.dataset), -1, np.int64)
         self._row_of[cache_idx[ok]] = np.arange(len(rows))
         if self.sharding is not None:

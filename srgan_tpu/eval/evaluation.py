@@ -185,6 +185,27 @@ def _evaluate_bucketed(
     bucket_h = max(h for h, _ in shapes)
     bucket_w = max(w for _, w in shapes)
 
+    # GroupNorm normalizes over the WHOLE padded extent, so under heavy
+    # padding the normalization statistics inside the valid region drift
+    # from what a per-image (unpadded) eval would compute — the masked
+    # metrics read only valid pixels, but those pixels were produced with
+    # slightly different GN stats. Warn when the distortion is material
+    # rather than silently reporting shifted scores.
+    if getattr(upscaler.model, "norm", "none") != "none":
+        worst = min((h * w) / (bucket_h * bucket_w) for h, w in shapes)
+        if worst < 0.75:
+            import warnings
+
+            warnings.warn(
+                "bucketed eval with a GroupNorm model: the smallest image "
+                f"fills only {worst:.0%} of the {bucket_h}x{bucket_w} "
+                "bucket; edge padding shifts GroupNorm statistics, so "
+                "scores can differ slightly from per-image (non-bucketed) "
+                "evaluation. Use --bucketed only on size-homogeneous sets, "
+                "or compare against a non-bucketed run.",
+                stacklevel=2,
+            )
+
     @jax.jit
     def score(params, lr_pad, hr_pad, valid_lh, valid_lw):
         sr = upscaler.model.apply({"params": params}, lr_pad[None])
@@ -237,6 +258,18 @@ def _evaluate_bucketed(
 
 
 def main(argv=None):
+    # Standalone entry point (the reference ships evaluation.py as its own
+    # script, ``evaluation.py:15-79``): re-apply JAX_PLATFORMS — the axon
+    # sitecustomize overrides the env var, so without this a "cpu" run
+    # silently executes on the TPU — and enable the persistent compile
+    # cache so flagship evals don't pay a cold remote compile.
+    from srgan_tpu.utils.platform import (
+        enable_compilation_cache,
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()
+    enable_compilation_cache()
     print("evaluating!")
     parser = argparse.ArgumentParser("evaluating sr")
     parser.add_argument(

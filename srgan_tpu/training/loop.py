@@ -20,6 +20,7 @@ stalls, ``train.py:196-201``).
 
 from __future__ import annotations
 
+import math
 import os
 import time
 from typing import List, Optional
@@ -29,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from srgan_tpu.config import Config
-from srgan_tpu.data.pipeline import TrainPipeline
+from srgan_tpu.data.pipeline import DeviceCacheBudget, TrainPipeline
 from srgan_tpu.models.discriminator import init_discriminator
 from srgan_tpu.models.srresnet import init_generator
 from srgan_tpu.ops.resize import resize_bilinear
@@ -650,13 +651,21 @@ class Trainer:
             self.logger = MetricsLogger(
                 cfg.train.results_dir, self._log_prefix(), append=True
             )
+            # NaN psnr records (diverged epoch, empty val set) must not
+            # poison the watermark: max() started on NaN stays NaN and
+            # every later `psnr > nan` is False, silently disabling
+            # keep_best for the whole resumed run.
             self._best_psnr = max(
-                (r.get("psnr", float("-inf"))
-                 for r in self.logger.read_records()),
+                (p for r in self.logger.read_records()
+                 if not math.isnan(p := float(r.get("psnr", float("-inf"))))),
                 default=float("-inf"),
             )
 
         num_shards, shard_index = process_shard_info()
+        # One budget across BOTH pipelines: train reserves first (hot
+        # cache); val auto-caches only with what's left — independent
+        # checks would let the pair commit 2x device_cache_budget_bytes.
+        cache_budget = DeviceCacheBudget(cfg.data.device_cache_budget_bytes)
         pipeline = TrainPipeline(
             cfg.data,
             train_folder or cfg.data.train_dir,
@@ -665,6 +674,7 @@ class Trainer:
             shard_index=shard_index,
             seed=cfg.train.seed,
             sharding=self.data_sharding,
+            cache_budget=cache_budget,
         )
         val_pipeline = TrainPipeline(
             cfg.data,
@@ -674,6 +684,7 @@ class Trainer:
             shard_index=shard_index,
             seed=cfg.train.seed + 1,
             sharding=self.data_sharding,
+            cache_budget=cache_budget,
         )
 
         os.makedirs(cfg.train.results_dir, exist_ok=True)
@@ -765,7 +776,8 @@ class Trainer:
                         block=False,
                     )
 
-                if (epoch + 1) % cfg.train.validate_every == 0:
+                if (cfg.train.validate_every > 0
+                        and (epoch + 1) % cfg.train.validate_every == 0):
                     self.validate(val_pipeline, epoch)
 
                 psnr, ssim = self.compute_score(val_pipeline, epoch)

@@ -363,6 +363,10 @@ class TestEndToEnd:
             "a",
         ) as f:
             f.write(json.dumps({"epoch": 1, "psnr": 999.0}) + "\n")
+            # A diverged epoch's NaN must not poison the recovered
+            # watermark (max() over a NaN stays NaN and every later
+            # `psnr > nan` is False -> keep_best silently dead).
+            f.write(json.dumps({"epoch": 2, "psnr": float("nan")}) + "\n")
 
         cfg2 = _tiny_cfg(
             tmp_path, num_epochs=2, keep_best=True, checkpoint_every=1
@@ -370,6 +374,18 @@ class TestEndToEnd:
         t2 = Trainer(cfg2, use_mesh=False)
         t2.train(train_dir, val_dir, resume=True)
         assert t2._best_psnr == 999.0  # epoch 2's real PSNR did not clobber
+
+    def test_validate_every_zero_disables_grids(self, tmp_path, data_dirs):
+        """--validate-every 0 means "no comparison grids", mirroring
+        checkpoint_every's 0=off — it must not raise ZeroDivisionError."""
+        train_dir, val_dir = data_dirs
+        cfg = _tiny_cfg(tmp_path, num_epochs=1, validate_every=0)
+        Trainer(cfg, use_mesh=False).train(train_dir, val_dir)
+        grids = [
+            f for f in os.listdir(cfg.train.results_dir)
+            if "comparison" in f
+        ]
+        assert grids == []
 
     def test_pool_grows_across_phases(self, tmp_path, data_dirs):
         """Pixel-train ONE generator, GAN-fine-tune a 3-member pool: the

@@ -124,6 +124,42 @@ class TestEvaluation:
         )
         assert np.isfinite(psnr) and -1.0 <= ssim <= 1.0
 
+    def test_bucketed_groupnorm_padding_warns(self, tmp_path):
+        """Heavy padding under a GroupNorm model shifts the normalization
+        statistics inside the valid region — the bucketed path must say so
+        instead of silently reporting drifted scores."""
+        import warnings
+
+        root = str(tmp_path)
+        rng = np.random.default_rng(6)
+        # 8x8 LR vs 32x32 LR -> smallest image fills 6% of the bucket
+        for sub, scale in (("LRbicx4", 1), ("original", 4)):
+            d = os.path.join(root, sub)
+            os.makedirs(d, exist_ok=True)
+            for i, s in enumerate([8, 32]):
+                arr = rng.integers(
+                    0, 255, (s * scale, s * scale, 3), dtype=np.uint8
+                )
+                Image.fromarray(arr).save(os.path.join(d, f"w_{i}.png"))
+        up = Upscaler.random_init(
+            ModelConfig(num_features=8, num_residuals=1, upscale_factor=4,
+                        group_norm_groups=4)
+        )
+        kw = dict(upscaler=up, extra_downscale=False, apply_enhance=False,
+                  bucketed=True, verbose=False)
+        with pytest.warns(UserWarning, match="GroupNorm"):
+            evaluate_model(root, "LRbicx4", "original", **kw)
+
+        # norm="none" model: same set, no warning
+        up_nn = Upscaler.random_init(
+            ModelConfig(num_features=8, num_residuals=1, upscale_factor=4,
+                        norm="none")
+        )
+        kw["upscaler"] = up_nn
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            evaluate_model(root, "LRbicx4", "original", **kw)
+
 
 class TestMaskedMetrics:
     def test_full_valid_equals_unmasked(self, rng):
