@@ -122,7 +122,14 @@ def init_vgg_extractor(
         return model, load_vgg19_weights_npz(weights_npz, params)
     ckpt = _find_cached_torch_vgg19()
     if ckpt is not None:
-        return model, load_torch_vgg19_weights(ckpt, params)
+        try:
+            return model, load_torch_vgg19_weights(ckpt, params)
+        except ImportError:
+            # A cached .pth exists but torch doesn't (copied cache on a
+            # torch-free training box): porting needs torch, so fall
+            # through to the loud random-weights warning instead of
+            # crashing trainer construction.
+            pass
     import warnings
 
     warnings.warn(

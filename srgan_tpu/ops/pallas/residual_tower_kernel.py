@@ -263,21 +263,26 @@ def _make_bwd_kernel(compute_dtype, save_dtype):
             ind = ind_ref[...]
 
             # ---- replay the forward, stashing every block's input ----
+            # The carry MUST round to compute_dtype per block exactly like
+            # _make_fwd_kernel's: an f32 carry here would stash block
+            # inputs that drift from the true forward activations as N
+            # grows, and every dW/dscale/dbias/dx would be evaluated at
+            # (slightly) wrong points under bf16 compute.
             def fwd_block(n, a):
                 save_ref[n] = a.astype(save_ref.dtype)
                 c1 = _conv_val(a, w1_ref[n], compute_dtype)
                 mean1, inv1 = _gn_stats(c1, ind, count)
                 g1 = (c1 - mean1) * inv1 * s1_ref[n].reshape(1, 1, f) \
                     + b1_ref[n].reshape(1, 1, f)
-                r = jnp.maximum(g1, 0.0)
+                r = jnp.maximum(g1, 0.0).astype(compute_dtype)
                 c2 = _conv_val(r, w2_ref[n], compute_dtype)
                 mean2, inv2 = _gn_stats(c2, ind, count)
                 g2 = (c2 - mean2) * inv2 * s2_ref[n].reshape(1, 1, f) \
                     + b2_ref[n].reshape(1, 1, f)
-                return g2 + a
+                return (g2 + a.astype(jnp.float32)).astype(compute_dtype)
 
             jax.lax.fori_loop(
-                0, n_blocks, fwd_block, x_ref[0].astype(jnp.float32)
+                0, n_blocks, fwd_block, x_ref[0].astype(compute_dtype)
             )
 
             def block(t, da):

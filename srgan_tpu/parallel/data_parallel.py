@@ -31,7 +31,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from srgan_tpu.training.steps import generator_pixel_loss_fn
@@ -46,7 +46,7 @@ def make_shardmap_pixel_step(mesh: Mesh, apply_fn, axis: str = "data"):
     replicated.
     """
 
-    def body(params, opt_state, hr, lr_imgs, lr):
+    def body(params, hr, lr_imgs):
         # per-device shard loss/grads
         (loss, aux), grads = jax.value_and_grad(
             generator_pixel_loss_fn, has_aux=True
@@ -56,8 +56,10 @@ def make_shardmap_pixel_step(mesh: Mesh, apply_fn, axis: str = "data"):
         # different images cross-shard yields garbage with a wrong global
         # shape); scalar metrics are the only thing reduced here.
         del aux["sr"]
-        # THE all-reduce: mean of per-shard grads == global-batch gradient
-        # (each shard's loss is a mean over its slice; shards are equal-size)
+        # THE all-reduce: mean of per-shard grads — DDP's average-of-
+        # per-shard-loss gradients (see SEMANTIC NOTE above: for this loss
+        # that is NOT bit-identical to the global-batch gradient, because
+        # each shard's edge statistics are local to its slice).
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         aux = jax.lax.pmean(aux, axis)
@@ -66,15 +68,13 @@ def make_shardmap_pixel_step(mesh: Mesh, apply_fn, axis: str = "data"):
     smapped = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P()),
+        in_specs=(P(), P(axis), P(axis)),
         out_specs=(P(), P(), P()),
     )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, hr, lr_imgs, lr) -> Tuple[TrainState, dict]:
-        grads, loss, aux = smapped(
-            state.params, state.opt_state, hr, lr_imgs, lr
-        )
+        grads, loss, aux = smapped(state.params, hr, lr_imgs)
         new_state = state.apply_gradients(grads, lr)
         metrics = {
             "g_loss": loss,

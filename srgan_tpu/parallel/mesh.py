@@ -87,6 +87,21 @@ def host_local_rows(arr) -> np.ndarray:
     artifacts (``src/train.py:233-260``)."""
     if getattr(arr, "is_fully_addressable", True) or arr.is_fully_replicated:
         return np.asarray(arr)
+    # Row semantics require dim-0 (batch) sharding: on an array sharded
+    # along any OTHER axis every shard's index[0] is slice(None), the
+    # dedup below would keep one stripe and silently return a fragment.
+    def _full_axis(sl, dim):
+        return (sl.start in (None, 0)) and (sl.stop in (None, dim))
+
+    if any(
+        not _full_axis(s.index[i], arr.shape[i])
+        for s in arr.addressable_shards
+        for i in range(1, arr.ndim)
+    ):
+        raise ValueError(
+            "host_local_rows needs a batch-(dim-0-)sharded array; got "
+            f"shards along a non-leading axis (sharding={arr.sharding})"
+        )
     seen = set()
     rows = []
     for s in sorted(

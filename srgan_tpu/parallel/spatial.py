@@ -14,11 +14,23 @@ enhancer epilogue both qualify).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_apply(apply_fn, sharding):
+    """One jitted executable per (apply_fn, sharding): a fresh lambda per
+    call would miss jax's pjit cache and pay a retrace — and, over the
+    axon tunnel, a compile-service round trip — for every image."""
+    return jax.jit(
+        lambda pp, xx: apply_fn({"params": pp}, xx),
+        out_shardings=sharding,
+    )
 
 
 def upscale_spatially_sharded(
@@ -64,10 +76,7 @@ def upscale_spatially_sharded(
     replicated = NamedSharding(mesh, P())
     x = jax.device_put(arr, in_sharding)
     p = jax.device_put(params, replicated)
-    out = jax.jit(
-        lambda pp, xx: apply_fn({"params": pp}, xx),
-        out_shardings=in_sharding,
-    )(p, x)
+    out = _sharded_apply(apply_fn, in_sharding)(p, x)
     out = np.asarray(out)
     if pad_w:
         scale = out.shape[2] // arr.shape[2]

@@ -233,14 +233,18 @@ def stacked_pool_gan_step(
 
 def _scan_member_grad_fn(apply_fn, d_apply_fn, d_params, hr, lr_imgs,
                          vgg_apply_fn, vgg_params, p_weight, use_pallas,
-                         edges, f_real):
+                         edges, f_real, d_real):
     """Per-member objective gradient for the scanned executor.
 
     Unlike the vmapped ``_stacked_loss_fn``, each member's loss lives in its
     own scan iteration, so the fused Pallas loss kernel CAN run here (its
     HBM-space inputs don't batch under vmap — see ``_stacked_loss_fn``) and
     is selected whenever the shape supports it; otherwise the shared
-    precomputed ``edges`` path is used, as in the vmapped step."""
+    precomputed ``edges`` path is used, as in the vmapped step.
+    ``d_real`` (D's predictions on HR) is likewise member-independent and
+    precomputed by the caller: inside the scan body XLA cannot CSE it
+    across iterations, so inlining it would re-run the full D-on-HR
+    forward N times per batch."""
 
     def loss_fn(params, mask):
         sr = apply_fn({"params": params}, lr_imgs)
@@ -250,8 +254,7 @@ def _scan_member_grad_fn(apply_fn, d_apply_fn, d_params, hr, lr_imgs,
             com, tv = reconstruction_loss_with_edges(hr, sr, edges)
         if d_apply_fn is not None:
             fake = d_apply_fn({"params": d_params}, sr)
-            real = jax.lax.stop_gradient(d_apply_fn({"params": d_params}, hr))
-            g_d = generator_adversarial_loss(real, fake)
+            g_d = generator_adversarial_loss(d_real, fake)
         else:
             g_d = jnp.zeros(())
         p = jnp.zeros(())
@@ -294,9 +297,15 @@ def _scan_pool_update(stacked_state, apply_fn, d_apply_fn, d_params, hr,
         f_real = jax.lax.stop_gradient(
             vgg_apply_fn({"params": vgg_params}, hr)
         )
+    d_real = None
+    if d_apply_fn is not None:
+        # D(hr) is constant across members — hoisted out of the scan like
+        # edges/f_real (XLA can't CSE across the scan's loop boundary).
+        d_real = jax.lax.stop_gradient(d_apply_fn({"params": d_params}, hr))
     grad_one = _scan_member_grad_fn(
         apply_fn, d_apply_fn, d_params, hr, lr_imgs,
         vgg_apply_fn, vgg_params, p_weight, use_pallas, edges, f_real,
+        d_real,
     )
 
     n = gan_mask.shape[0]
@@ -487,6 +496,11 @@ class StackedGeneratorPool:
 
     def sample_gan_mask(self, use_gan: bool) -> np.ndarray:
         if not use_gan:
+            # pixel-only phase still counts as a pixel update per member —
+            # GeneratorPool.record_loss(…, used_gan=False) does, and the
+            # two representations' snapshots must agree (they round-trip
+            # through checkpoints via _sync_pool_from_stacked).
+            self.pixel_updates += 1
             return np.zeros(self.n, np.float32)
         probs = self.gan_probabilities()
         mask = (self._rng.random(self.n) < probs).astype(np.float32)

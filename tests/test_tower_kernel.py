@@ -97,3 +97,67 @@ class TestTowerBackward:
                 a, b, rtol=1e-3, atol=1e-4,
                 err_msg=f"grad mismatch for {name}",
             )
+
+    def test_bf16_replay_matches_forward_schedule(self, rng):
+        """bfloat16 compute path (the stated TPU use case). The remat
+        contract: the backward's forward-replay must round its carry per
+        block exactly like the forward kernel, so the kernel's gradients
+        are the gradients OF the bf16 forward function. Oracle: jax
+        autodiff of a pure-JAX replica of the fwd kernel's exact rounding
+        schedule. The pre-fix unrounded (f32-carry) replay measured
+        5-13%% max error against this oracle at N=4; the rounded replay
+        measures <1%% (within-block f32 grad-arithmetic noise only)."""
+        n, f = 4, 16
+        x = jnp.asarray(
+            rng.standard_normal((1, 8, 16, f)).astype(np.float32)
+        )
+        params = _params(n, f, jax.random.key(2))
+        dy = jnp.asarray(
+            rng.standard_normal((1, 8, 16, f)).astype(np.float32)
+        )
+        dt = jnp.bfloat16
+
+        def fwd_exact(x_, p_):
+            # mirror _make_fwd_kernel's per-block dtype schedule exactly
+            def one(xi):
+                ind = jnp.asarray(tk.group_indicator(f, 8))
+                count = xi.shape[0] * xi.shape[1] * (f // 8)
+                a = xi.astype(dt)
+                for i in range(n):
+                    c1 = tk._conv_val(a, p_.w1[i], dt)
+                    m1, i1 = tk._gn_stats(c1, ind, count)
+                    r = jnp.maximum(
+                        (c1 - m1) * i1 * p_.s1[i].reshape(1, 1, f)
+                        + p_.b1[i].reshape(1, 1, f), 0.0,
+                    ).astype(dt)
+                    c2 = tk._conv_val(r, p_.w2[i], dt)
+                    m2, i2 = tk._gn_stats(c2, ind, count)
+                    g2 = (c2 - m2) * i2 * p_.s2[i].reshape(1, 1, f) \
+                        + p_.b2[i].reshape(1, 1, f)
+                    a = (g2 + a.astype(jnp.float32)).astype(dt)
+                return a.astype(jnp.float32)
+
+            return jax.vmap(one)(x_)
+
+        # the replica IS the forward kernel (bit-exact)
+        np.testing.assert_array_equal(
+            np.asarray(tk.residual_tower(x, params, dt)),
+            np.asarray(fwd_exact(x, params)),
+        )
+
+        gx_t, gp_t = jax.grad(
+            lambda x_, p_: jnp.sum(fwd_exact(x_, p_) * dy), argnums=(0, 1)
+        )(x, params)
+        gx_k, gp_k = jax.grad(
+            lambda x_, p_: jnp.sum(tk.residual_tower(x_, p_, dt) * dy),
+            argnums=(0, 1),
+        )(x, params)
+
+        def close(a, b, name):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            err = np.abs(a - b).max() / (np.abs(b).max() + 1e-6)
+            assert err < 0.02, f"{name}: rel err vs true bf16 grad {err:.4f}"
+
+        close(gx_k, gx_t, "dx")
+        for name in tk.TowerParams._fields:
+            close(getattr(gp_k, name), getattr(gp_t, name), name)
