@@ -312,6 +312,33 @@ class TestReduceMetrics:
         hosts = [{"v": float("inf")}, {"v": 2.0}]
         assert combine_host_metrics(hosts)["v"] == pytest.approx(2.0)
 
+    def test_host_local_rows_rejects_non_batch_sharding(self):
+        """Row semantics need dim-0 sharding; a width-sharded array (the
+        spatial.py layout) must raise, not silently return one stripe.
+        Single-process arrays are fully addressable, so exercise the
+        guard directly on the shard-index shapes it inspects."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from srgan_tpu.parallel import mesh as M
+
+        m = M.make_mesh()
+        x = jax.device_put(
+            jnp.zeros((4, 16, 3)), NamedSharding(m, P(None, "data"))
+        )
+
+        class FakeGlobal:
+            # mimics a multi-process global array: not fully addressable
+            is_fully_addressable = False
+            is_fully_replicated = False
+            ndim = x.ndim
+            shape = x.shape
+            sharding = x.sharding
+            addressable_shards = x.addressable_shards
+
+        with pytest.raises(ValueError, match="batch"):
+            M.host_local_rows(FakeGlobal())
+
 
 class TestShardedInference:
     def test_sharded_upscaler_matches_single_device(self, rng):

@@ -297,6 +297,22 @@ class TestStackedScheduler:
         leader_after = np.asarray(jax.tree.leaves(pool.leader_params())[0])
         np.testing.assert_array_equal(leader_after, leader_before)
 
+    def test_pixel_phase_counts_pixel_updates(self):
+        """Pixel-only batches must increment pixel_updates exactly like
+        GeneratorPool.record_loss(..., used_gan=False) — the two
+        representations' snapshots round-trip through checkpoints and
+        must agree."""
+        pool = self._pool()
+        for _ in range(4):
+            mask = pool.sample_gan_mask(use_gan=False)
+            assert not mask.any()
+        assert (pool.pixel_updates == 4).all()
+        assert (pool.gan_updates == 0).all()
+        # GAN-phase masks keep splitting between the two counters
+        pool.running_loss = np.full(3, 0.2)
+        pool.sample_gan_mask(use_gan=True)
+        assert (pool.pixel_updates + pool.gan_updates == 5).all()
+
     def test_mutual_learning_pulls_followers(self):
         model, states = _states(2)
         stacked = stack_states(states)
