@@ -201,6 +201,23 @@ class TestSpatialSharding:
         # global stats shift
         assert float(np.abs(got[:, :40] - want[:, :40]).max()) < 0.3
 
+    def test_repeat_calls_reuse_executable(self, rng):
+        """Serving N same-shape images must reuse ONE jitted executable —
+        a fresh lambda per call would retrace (and, over the axon tunnel,
+        pay a compile-service round trip) every image."""
+        from srgan_tpu.parallel import spatial
+
+        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        model, params = init_generator(cfg, jax.random.key(0), sample_hw=(16, 16))
+        img = rng.random((16, 48, 3)).astype(np.float32)
+
+        spatial._sharded_apply.cache_clear()
+        a = spatial.upscale_spatially_sharded(model.apply, params, img)
+        b = spatial.upscale_spatially_sharded(model.apply, params, img)
+        np.testing.assert_array_equal(a, b)
+        info = spatial._sharded_apply.cache_info()
+        assert info.hits >= 1 and info.misses == 1
+
 
 class TestMeshTrainer:
     def test_trainer_on_mesh_e2e(self, tmp_path, rng):
