@@ -27,9 +27,48 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 
 import json
 import os
+import subprocess
 import sys
 import time
 import traceback
+
+
+def _backend_probe() -> str:
+    """Fail FAST when the axon tunnel is down instead of hanging forever.
+
+    During a tunnel outage even ``import jax`` hangs (the axon plugin
+    registration contacts the tunnel at import time — see CLAUDE.md), so
+    the probe runs in a subprocess with a hard timeout BEFORE this process
+    imports jax. Returns "" when healthy, else a short error string."""
+    if "cpu" in (os.environ.get("JAX_PLATFORMS") or ""):
+        return ""  # explicit CPU runs never touch the tunnel
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float((jnp.ones((64,64)) @ jnp.ones((64,64)))[0,0]))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT", "180")),
+        )
+    except subprocess.TimeoutExpired:
+        return "backend probe timed out (axon tunnel outage?)"
+    if r.returncode != 0:
+        tail = (r.stderr or b"").decode(errors="replace").strip()
+        return f"backend probe failed: {tail.splitlines()[-1] if tail else r.returncode}"
+    return ""
+
+
+_probe_error = _backend_probe()
+if _probe_error:
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip_4x_sr",
+        "value": None,
+        "unit": "images/sec",
+        "vs_baseline": None,
+        "extras": {"error": _probe_error},
+    }))
+    sys.exit(0)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from srgan_tpu.utils.platform import (  # noqa: E402
