@@ -1,0 +1,215 @@
+"""FLOP accounting + achieved-TFLOPS / MFU report for the hot executables.
+
+The reference has no performance observability beyond tqdm rates
+(``src/train.py:145,166``). For a production serving/training framework the
+number that matters is how close each compiled program runs to the chip's
+ceiling, so this script reports, per hot path:
+
+  - XLA's own FLOP count for the compiled executable
+    (``compiled.cost_analysis()`` — the post-optimization HLO estimate);
+  - measured wall time per step (completion forced with a scalar fetch,
+    never ``block_until_ready`` — the axon tunnel returns early from it);
+  - achieved TFLOPS and, when the chip's bf16 peak is known, MFU.
+
+Paths covered: the fused pixel train step (bench.py's headline), the fused
+G+D GAN step, and the serving forward (``infer_step_u8``). Shapes default
+to the flagship config (4x SR, 512x1024 HR, ``src/train.py:94-95``).
+
+Usage:
+    python scripts/mfu_report.py [--batch 24] [--features 64] [--steps 10]
+
+Prints one JSON line: {"device", "peak_tflops", "paths": {name: {...}}}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from srgan_tpu.utils.platform import (  # noqa: E402
+    enable_compilation_cache,
+    honor_jax_platforms_env,
+)
+
+honor_jax_platforms_env()
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+# bf16 peak by device kind (dense, per chip). Override with PEAK_TFLOPS.
+_PEAK_BF16_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5e": 197.0,
+    "TPU v4": 275.0,
+    "TPU v5p": 459.0,
+    "TPU v6e": 918.0,
+}
+
+
+def _peak_tflops(device) -> float | None:
+    env = os.environ.get("PEAK_TFLOPS")
+    if env:
+        return float(env)
+    kind = getattr(device, "device_kind", "")
+    for prefix, peak in _PEAK_BF16_TFLOPS.items():
+        if kind.startswith(prefix):
+            return peak
+    return None
+
+
+def _flops_of(jitted, *args, **kwargs) -> float | None:
+    """XLA's post-optimization FLOP estimate for the compiled executable."""
+    try:
+        cost = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+def _report(name, jitted, run_once, flops, steps: int) -> dict:
+    """Time ``steps`` dispatches of ``run_once`` (which must end in a scalar
+    fetch) and fold in the FLOP estimate."""
+    run_once()  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        run_once()
+    dt = (time.perf_counter() - t0) / steps
+    out = {"ms_per_step": round(dt * 1e3, 3)}
+    if flops:
+        out["gflops_per_step"] = round(flops / 1e9, 2)
+        out["achieved_tflops"] = round(flops / dt / 1e12, 2)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    on_tpu = jax.devices()[0].platform == "tpu"
+    ap.add_argument("--batch", type=int, default=24 if on_tpu else 2)
+    ap.add_argument("--serve-batch", type=int, default=48 if on_tpu else 4)
+    ap.add_argument("--features", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=10 if on_tpu else 2)
+    ap.add_argument("--hr", type=int, nargs=2, default=None, metavar=("H", "W"))
+    args = ap.parse_args(argv)
+
+    from srgan_tpu.config import DiscriminatorConfig, ModelConfig
+    from srgan_tpu.models.discriminator import init_discriminator
+    from srgan_tpu.models.srresnet import init_generator
+    from srgan_tpu.training.steps import (
+        gan_train_step,
+        generator_pixel_step,
+        infer_step_u8,
+    )
+    from srgan_tpu.training.train_state import TrainState
+
+    hr_h, hr_w = args.hr or ((512, 1024) if on_tpu else (128, 256))
+    factor = 4
+    dtype = "bfloat16" if on_tpu else "float32"
+    cfg = ModelConfig(num_features=args.features, compute_dtype=dtype)
+    model, params = init_generator(
+        cfg, jax.random.key(0), sample_hw=(hr_h // factor, hr_w // factor)
+    )
+    # 4-stage critic needs >= 428px inputs; CPU smoke shapes get 2 stages
+    d_model, d_params = init_discriminator(
+        DiscriminatorConfig(
+            compute_dtype=dtype,
+            num_stages=4 if min(hr_h, hr_w) >= 428 else 2,
+        ),
+        jax.random.key(1), sample_hw=(hr_h, hr_w),
+    )
+
+    hr = jax.random.uniform(
+        jax.random.key(2), (args.batch, hr_h, hr_w, 3), jnp.float32
+    )
+    lr_imgs = jax.random.uniform(
+        jax.random.key(3), (args.batch, hr_h // factor, hr_w // factor, 3),
+        jnp.float32,
+    )
+    g_lr = jnp.asarray(1e-4)
+    d_lr = jnp.asarray(5e-5)
+
+    device = jax.devices()[0]
+    peak = _peak_tflops(device)
+    paths = {}
+
+    def fresh(p):
+        # donated train states each get their own buffers; ``params`` stays
+        # pristine for the serving path
+        return jax.tree.map(jnp.array, p)
+
+    # --- fused pixel train step (fwd + ReconstructionLoss + bwd + Adam) ---
+    state = TrainState.create(apply_fn=model.apply, params=fresh(params))
+    flops = _flops_of(generator_pixel_step, state, hr, lr_imgs, g_lr)
+    box = {"state": state}
+
+    def run_pixel():
+        box["state"], m = generator_pixel_step(box["state"], hr, lr_imgs, g_lr)
+        float(m["g_loss"])
+
+    paths["train_pixel_step"] = _report(
+        "train_pixel_step", generator_pixel_step, run_pixel, flops, args.steps
+    )
+
+    # --- fused G+D GAN step (one executable per batch) ---
+    gbox = {
+        "g": TrainState.create(apply_fn=model.apply, params=fresh(params)),
+        "d": TrainState.create(apply_fn=d_model.apply, params=fresh(d_params)),
+    }
+    flops = _flops_of(
+        gan_train_step, gbox["g"], gbox["d"], d_model.apply,
+        hr, lr_imgs, g_lr, d_lr,
+    )
+
+    def run_gan():
+        gbox["g"], gbox["d"], m = gan_train_step(
+            gbox["g"], gbox["d"], d_model.apply, hr, lr_imgs, g_lr, d_lr
+        )
+        float(m["g_loss"])
+
+    paths["train_gan_step"] = _report(
+        "train_gan_step", gan_train_step, run_gan, flops, args.steps
+    )
+
+    # --- serving forward + device-side uint8 quantization ---
+    serve_lr = jax.random.uniform(
+        jax.random.key(4),
+        (args.serve_batch, hr_h // factor, hr_w // factor, 3), jnp.float32,
+    )
+    flops = _flops_of(infer_step_u8, model.apply, params, serve_lr)
+
+    def run_serve():
+        out = infer_step_u8(model.apply, params, serve_lr)
+        int(out[0, 0, 0, 0])
+
+    paths["serving_forward_u8"] = _report(
+        "serving_forward_u8", infer_step_u8, run_serve, flops, args.steps
+    )
+
+    for rec, batch in (
+        (paths["train_pixel_step"], args.batch),
+        (paths["train_gan_step"], args.batch),
+        (paths["serving_forward_u8"], args.serve_batch),
+    ):
+        rec["images_per_sec"] = round(batch / (rec["ms_per_step"] / 1e3), 1)
+        if peak and "achieved_tflops" in rec:
+            rec["mfu_pct"] = round(100.0 * rec["achieved_tflops"] / peak, 1)
+
+    print(json.dumps({
+        "device": getattr(device, "device_kind", device.platform),
+        "batch": args.batch,
+        "features": args.features,
+        "hr": [hr_h, hr_w],
+        "peak_bf16_tflops": peak,
+        "paths": paths,
+    }))
+
+
+if __name__ == "__main__":
+    main()
