@@ -14,7 +14,8 @@ the driver-recorded bench, not PARITY prose):
     (device-cached pipeline + fused step + packed lagged metric drain), the
     reference hot loop ``src/train.py:151-166``;
   - ``real_epoch_gan_pool3_images_per_sec`` — flagship pool-3 GAN config
-    (vmap-stacked pool + fused G+D executable, ``--remat``);
+    (scan pool executor at full batch, no remat — the default path;
+    each member's G update plus the shared D update fused per batch);
   - ``serving_images_per_sec_device`` — batch-48 inference with device-side
     uint8 quantization (``infer_step_u8``), the serving fast path.
 
@@ -56,6 +57,11 @@ def _backend_probe() -> str:
     if r.returncode != 0:
         tail = (r.stderr or b"").decode(errors="replace").strip()
         return f"backend probe failed: {tail.splitlines()[-1] if tail else r.returncode}"
+    # The probe child touched the TPU; give its tunnel session a moment to
+    # tear down before this process initializes the same backend (starting
+    # a new TPU process while one is still exiting can wedge backend init
+    # silently — see CLAUDE.md "Environment gotchas").
+    time.sleep(5)
     return ""
 
 
@@ -191,17 +197,24 @@ def bench_real_epochs(on_tpu: bool) -> dict:
         ),
         train=TrainConfig(),
     )
-    out["real_epoch_pixel_images_per_sec"] = round(
-        _epoch_rate(pixel_cfg, data_dir, epochs), 3
-    )
+    try:
+        out["real_epoch_pixel_images_per_sec"] = round(
+            _epoch_rate(pixel_cfg, data_dir, epochs), 3
+        )
+    except Exception:
+        traceback.print_exc()
+        out["real_epoch_pixel_images_per_sec"] = None
 
     # Scan executor: one member's activations live at a time, so the
     # flagship pool GAN runs at full batch 24 with NO remat — measured
     # 28.6 img/s vs 15-17 for vmap+remat@b12; the vmapped program at b24
     # fails to compile at all (scripts/bench_epoch.py --pool-exec).
+    # (Off-TPU smoke shapes are below the 4-stage critic's 428px floor.)
     gan_cfg = Config(
         model=ModelConfig(compute_dtype=dtype),
-        discriminator=DiscriminatorConfig(compute_dtype=dtype),
+        discriminator=DiscriminatorConfig(
+            compute_dtype=dtype, num_stages=4 if min(h, w) >= 428 else 2,
+        ),
         data=DataConfig(
             hr_size=(h, w), batch_size=24 if on_tpu else 4,
             device_cache="on",
@@ -209,9 +222,13 @@ def bench_real_epochs(on_tpu: bool) -> dict:
         pool=PoolConfig(num_generators=3, member_exec="scan"),
         train=TrainConfig(use_gan=True),
     )
-    out["real_epoch_gan_pool3_images_per_sec"] = round(
-        _epoch_rate(gan_cfg, data_dir, epochs), 3
-    )
+    try:
+        out["real_epoch_gan_pool3_images_per_sec"] = round(
+            _epoch_rate(gan_cfg, data_dir, epochs), 3
+        )
+    except Exception:
+        traceback.print_exc()
+        out["real_epoch_gan_pool3_images_per_sec"] = None
     return out
 
 

@@ -74,7 +74,7 @@ def _flops_of(jitted, *args, **kwargs) -> float | None:
         return None
 
 
-def _report(name, jitted, run_once, flops, steps: int) -> dict:
+def _report(run_once, flops, steps: int) -> dict:
     """Time ``steps`` dispatches of ``run_once`` (which must end in a scalar
     fetch) and fold in the FLOP estimate."""
     run_once()  # warmup/compile
@@ -153,9 +153,7 @@ def main(argv=None):
         box["state"], m = generator_pixel_step(box["state"], hr, lr_imgs, g_lr)
         float(m["g_loss"])
 
-    paths["train_pixel_step"] = _report(
-        "train_pixel_step", generator_pixel_step, run_pixel, flops, args.steps
-    )
+    paths["train_pixel_step"] = _report(run_pixel, flops, args.steps)
 
     # --- fused G+D GAN step (one executable per batch) ---
     gbox = {
@@ -173,9 +171,7 @@ def main(argv=None):
         )
         float(m["g_loss"])
 
-    paths["train_gan_step"] = _report(
-        "train_gan_step", gan_train_step, run_gan, flops, args.steps
-    )
+    paths["train_gan_step"] = _report(run_gan, flops, args.steps)
 
     # --- serving forward + device-side uint8 quantization ---
     serve_lr = jax.random.uniform(
@@ -188,9 +184,7 @@ def main(argv=None):
         out = infer_step_u8(model.apply, params, serve_lr)
         int(out[0, 0, 0, 0])
 
-    paths["serving_forward_u8"] = _report(
-        "serving_forward_u8", infer_step_u8, run_serve, flops, args.steps
-    )
+    paths["serving_forward_u8"] = _report(run_serve, flops, args.steps)
 
     for rec, batch in (
         (paths["train_pixel_step"], args.batch),

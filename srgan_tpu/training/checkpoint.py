@@ -105,10 +105,30 @@ def _next_ckpt_dir(results_dir: str, prefix: str, epoch: int) -> str:
     base = _ckpt_base(results_dir, prefix)
 
     def probe() -> int:
-        k = 0
-        while os.path.exists(f"{base}@{epoch}" + (f".{k}" if k else "")):
-            k += 1
-        return k
+        # One past the HIGHEST slot ever used for this epoch — never the
+        # first free hole: GC frees LOW slots while a higher one can still
+        # hold an OLDER snapshot (e.g. @7 deleted after @7.1 committed), and
+        # re-filling the hole would make the new snapshot sort — and every
+        # later restore read — BELOW that older state. In-flight orbax tmp
+        # dirs count as occupied so a new save never claims the final name
+        # of a write still in progress.
+        name0 = os.path.basename(base) + f"@{epoch}"
+        try:
+            names = os.listdir(os.path.dirname(base))
+        except FileNotFoundError:
+            return 0
+        ks = []
+        for name in names:
+            if not name.startswith(name0):
+                continue
+            rest = name[len(name0):]  # "" | ".k" | tmp-suffixed either
+            if rest == "" or rest.startswith(".orbax-checkpoint-tmp"):
+                ks.append(0)
+            elif rest.startswith("."):
+                k_s = rest[1:].split(".", 1)[0]
+                if k_s.isdigit():
+                    ks.append(int(k_s))
+        return max(ks) + 1 if ks else 0
 
     if jax.process_count() > 1:
         import numpy as np

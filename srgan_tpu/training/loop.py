@@ -59,6 +59,12 @@ from srgan_tpu.utils.plotting import save_comparison, save_rating_curve
 class Trainer:
     def __init__(self, cfg: Config, *, use_mesh: bool = True):
         self.cfg = cfg
+        if cfg.train.stop_sync_every_batches < 1:
+            raise ValueError(
+                "TrainConfig.stop_sync_every_batches must be >= 1 (it is a "
+                "batch modulus; multi-process runs sync the preemption stop "
+                f"at every Nth boundary), got {cfg.train.stop_sync_every_batches}"
+            )
         if cfg.train.debug_nans:
             jax.config.update("jax_debug_nans", True)
         self.mesh = make_mesh(cfg.mesh) if use_mesh else None

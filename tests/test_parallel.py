@@ -180,12 +180,12 @@ class TestSpatialSharding:
         want = np.asarray(
             model.apply({"params": params}, jnp.asarray(img)[None])
         )[0]
+        # the confinement claim: every column outside the pad's receptive
+        # field matches the single-device output (the contaminated margin
+        # itself deviates freely on random weights, so it is unasserted)
         np.testing.assert_allclose(
             got[:, :40], want[:, :40], rtol=1e-4, atol=1e-5
         )
-        # the contaminated margin deviates freely on random weights — the
-        # claim is only that contamination stays CONFINED to the margin
-        assert float(np.abs(got[:, :40] - want[:, :40]).max()) < 1e-4
 
         # GroupNorm flagship norm: the stats shift is global — bounded
         # deviation only (random weights amplify it; trained models sit

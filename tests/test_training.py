@@ -491,6 +491,33 @@ class TestCheckpoint:
         )
         assert epoch == 3
 
+    def test_next_ckpt_dir_never_refills_a_gc_hole(self, tmp_path):
+        """Regression: after GC frees a LOW slot (@7 deleted once @7.1
+        committed), a later same-epoch save must claim @7.2 — re-filling
+        the @7 hole would sort the NEW snapshot below the OLDER @7.1, and
+        every restore would silently load stale state."""
+        import os
+
+        from srgan_tpu.training.checkpoint import _next_ckpt_dir
+
+        os.makedirs(str(tmp_path / "H_ckpt@7.1"))  # survivor of a GC cycle
+        assert os.path.basename(
+            _next_ckpt_dir(str(tmp_path), "H", 7)
+        ) == "H_ckpt@7.2"
+        # an in-flight orbax write owns its final name: never claim it
+        os.makedirs(str(tmp_path / "H_ckpt@3.orbax-checkpoint-tmp-99"))
+        assert os.path.basename(
+            _next_ckpt_dir(str(tmp_path), "H", 3)
+        ) == "H_ckpt@3.1"
+        # longer epoch numbers sharing the prefix are a different epoch
+        os.makedirs(str(tmp_path / "H_ckpt@70"))
+        assert os.path.basename(
+            _next_ckpt_dir(str(tmp_path), "H", 7)
+        ) == "H_ckpt@7.2"
+        assert os.path.basename(
+            _next_ckpt_dir(str(tmp_path), "H", 70)
+        ) == "H_ckpt@70.1"
+
     def test_latest_ckpt_dir_prefers_versioned_over_legacy(self, tmp_path):
         import os
 
