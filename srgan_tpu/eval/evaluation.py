@@ -111,19 +111,23 @@ def evaluate_model(
         return psnr_fn(sr[0], hr_r[0]), ssim_fn(sr[0], hr_r[0])
 
     t_psnr, t_ssim, n = 0.0, 0.0, 0
+    f = upscaler.model.upscale_factor
     for idx in range(len(eval_data)):
         pair = eval_data[idx]
         if pair is None:
             continue  # corrupt-file skip
         lr_img, hr_img = pair
         lr_b = jnp.asarray(lr_img)[None]
+        if _lr_too_small(
+            lr_b.shape[1], lr_b.shape[2], f, extra_downscale, idx=idx
+        ):
+            continue  # degenerate size would poison the running averages
         if extra_downscale:
             # ``evaluation.py:45-46``: shrink the LR input by the model's
             # upscale factor so SR output size == original LR size (the
             # reference hardcodes ÷4 because its only model is 4x; scaling
             # with the loaded model keeps the quirk correct for 2x/8x
             # checkpoints).
-            f = upscaler.model.upscale_factor
             h, w = lr_b.shape[1] // f, lr_b.shape[2] // f
             lr_b = resize_bilinear(lr_b, (h, w))
         p, s = score(upscaler.params, lr_b, jnp.asarray(hr_img)[None])
@@ -141,6 +145,32 @@ def evaluate_model(
     if verbose:
         print(f"\naverage psnr = {avg_psnr}, average ssim = {avg_ssim}")
     return avg_psnr, avg_ssim
+
+
+_SSIM_WIN = 3  # skimage win_size the canonical metrics pin (ops/metrics.py)
+
+
+def _lr_too_small(h, w, f, extra_downscale, idx=None) -> bool:
+    """True when an LR image cannot be scored: the optional ÷factor
+    downscale would collapse a side below 1px, or the resulting SR output
+    would be smaller than the SSIM window (3px). Such an image used to
+    poison the whole run — an empty resize feeds NaN metrics into the
+    running averages (per-size path) or a zero-extent edge-pad raises
+    (bucketed path) — so it is skipped with a visible warning instead."""
+    if extra_downscale:
+        h, w = h // f, w // f
+    if min(h, w) >= 1 and min(h, w) * f >= _SSIM_WIN:
+        return False
+    import warnings
+
+    warnings.warn(
+        f"eval pair #{idx}: LR image {h}x{w} "
+        f"{'after the ÷%d downscale quirk ' % f if extra_downscale else ''}"
+        f"is too small to score (needs >=1px sides and a >={_SSIM_WIN}px SR "
+        "output for the SSIM window) — skipped",
+        stacklevel=2,
+    )
+    return True
 
 
 def _evaluate_bucketed(
@@ -170,14 +200,34 @@ def _evaluate_bucketed(
 
     # Pass 1 only needs the post-downscale LR SHAPES for the bucket size —
     # keep indices, not pixels (caching every decoded LR+HR of a
-    # DIV2K-scale set would hold gigabytes on the host; decode is cheap,
-    # so pass 2 re-decodes per item).
+    # DIV2K-scale set would hold gigabytes on the host). When the dataset
+    # exposes file paths the shape comes from the image HEADER (no pixel
+    # decode, no device dispatch — the ``upscale_directory`` pattern);
+    # pass 2 does the only full decode per item.
+    def raw_lr_shape(idx):
+        if hasattr(eval_data, "dir1") and hasattr(eval_data, "files1"):
+            from PIL import Image
+
+            try:
+                path = os.path.join(eval_data.dir1, eval_data.files1[idx])
+                with Image.open(path) as im:
+                    w, h = im.size
+                return h, w
+            except Exception:
+                return None  # corrupt file: pass 2's load() also skips it
+        pair = eval_data[idx]
+        return None if pair is None else pair[0].shape[:2]
+
     shapes, keep = [], []
     for idx in range(len(eval_data)):
-        item = load(idx)
-        if item is None:
+        raw = raw_lr_shape(idx)
+        if raw is None:
             continue
-        shapes.append(item[0].shape[:2])
+        if _lr_too_small(raw[0], raw[1], f, extra_downscale, idx=idx):
+            continue
+        shapes.append(
+            (raw[0] // f, raw[1] // f) if extra_downscale else tuple(raw)
+        )
         keep.append(idx)
     if not keep:
         return float("nan"), float("nan")

@@ -159,6 +159,14 @@ class SRResNet(nn.Module):
                 f"upscale_factor must be a power of two >= 2 (2/4/8...), "
                 f"got {f}"
             )
+        if self.head not in ("subpixel", "coarse", "reference"):
+            # same contract as norm: a typo ("Reference", "subpixl") must
+            # not silently build the subpixel default and bake itself into
+            # the sidecar
+            raise ValueError(
+                "head must be 'subpixel', 'coarse' or 'reference', "
+                f"got {self.head!r}"
+            )
         x = x.astype(self.compute_dtype)
         out1 = nn.Conv(
             self.num_features, (9, 9), padding=4, dtype=self.compute_dtype

@@ -90,13 +90,16 @@ def perceptual_loss(
     sr: jax.Array, hr: jax.Array, apply_fn, params
 ) -> jax.Array:
     """Summed L1 distance between extracted feature maps
-    (reference ``perceptal_loss`` [sic], ``src/utils.py:154-166``)."""
+    (reference ``perceptal_loss`` [sic], ``src/utils.py:154-166``).
+
+    Convenience wrapper for standalone use: extracts the HR features and
+    delegates to the training path's ``steps.perceptual_term`` so the
+    objective has exactly ONE implementation (the train steps precompute
+    ``f_real`` once per batch and share it across pool members)."""
+    from srgan_tpu.training.steps import perceptual_term  # avoid a cycle
+
     f_real = apply_fn({"params": params}, hr)
-    f_fake = apply_fn({"params": params}, sr)
-    loss = 0.0
-    for key in f_real:
-        loss = loss + jnp.mean(jnp.abs(f_fake[key] - f_real[key]))
-    return loss
+    return perceptual_term(sr, f_real, apply_fn, params)
 
 
 def init_vgg_extractor(

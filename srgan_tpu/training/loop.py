@@ -292,11 +292,11 @@ class Trainer:
         use_gan = self.d_state is not None
         d_apply = self.d_state.apply_fn if use_gan else None
 
-        # One-batch-lagged metric fetch: the scheduler gates batch k with
-        # losses through batch k-1, so step k dispatches without waiting for
-        # step k-1's scalars (the reference instead syncs every batch via
-        # ``.item()``, ``train.py:196-198``). The lag is semantically benign:
-        # the gate reads an EMA.
+        # Lagged metric fetch: batch k's gan-mask sampling and dispatch
+        # happen BEFORE batch k-1's scalars are drained, so the scheduler
+        # gates batch k with losses through batch k-2 (the reference
+        # instead syncs every batch via ``.item()``, ``train.py:196-198``).
+        # The two-batch-stale gate is semantically benign: it reads an EMA.
         pending = None
         progress = ProgressLine(
             cfg.train.progress, total=pipeline.steps_per_epoch()
@@ -427,8 +427,9 @@ class Trainer:
         n_batches = 0
         self.throughput.begin()
 
-        # One-batch-lagged metric fetch (see _train_epoch_stacked): batch k
-        # is gated/dispatched before batch k-1's loss scalars are pulled.
+        # Lagged metric fetch (see _train_epoch_stacked): batch k is
+        # gated/dispatched before batch k-1's scalars are pulled, so the
+        # gate EMA is two batches stale at sampling time.
         pending = ([], None)
         progress = ProgressLine(
             cfg.train.progress, total=pipeline.steps_per_epoch()

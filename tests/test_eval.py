@@ -52,6 +52,33 @@ class TestEvaluation:
                 verbose=False,
             )
 
+    @pytest.mark.parametrize("bucketed", [False, True])
+    def test_tiny_lr_image_skipped_not_poisoning(self, tmp_path, bucketed):
+        """Regression: one sub-factor-sized LR image (3x5 with a 4x model
+        under the ÷4 quirk) used to resize to an EMPTY batch whose NaN
+        metrics poisoned the whole run's averages (and the bucketed path's
+        zero-extent edge-pad raised). It must be skipped with a warning
+        while the rest of the set still scores."""
+        root = str(tmp_path)
+        _make_pair_dirs(root)  # two healthy 32x24 pairs
+        rng = np.random.default_rng(7)
+        tiny = rng.integers(0, 255, (3, 5, 3), dtype=np.uint8)
+        # name sorts first so the degenerate pair leads the loop
+        Image.fromarray(tiny).save(os.path.join(root, "LRbicx4", "a_tiny.png"))
+        Image.fromarray(
+            rng.integers(0, 255, (12, 20, 3), dtype=np.uint8)
+        ).save(os.path.join(root, "original", "a_tiny.png"))
+        up = Upscaler.random_init(
+            ModelConfig(num_features=8, num_residuals=1, upscale_factor=4)
+        )
+        with pytest.warns(UserWarning, match="too small to score"):
+            psnr, ssim = evaluate_model(
+                root, "LRbicx4", "original",
+                upscaler=up, extra_downscale=True, apply_enhance=False,
+                bucketed=bucketed, verbose=False,
+            )
+        assert np.isfinite(psnr) and np.isfinite(ssim)
+
     def test_extra_downscale_semantics(self, tmp_path):
         """With the reference's ÷4-then-SR quirk, SR output size equals the
         original LR size (``src/evaluation.py:45-46``) — so scoring runs at

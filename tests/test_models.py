@@ -264,6 +264,14 @@ class TestConfigValidation:
         with pytest.raises(ValueError, match="norm"):
             init_generator(cfg, jax.random.key(0), sample_hw=(8, 8))
 
+    def test_bad_head_string_raises(self):
+        """A typo'd head must not silently build the subpixel default and
+        bake itself into the sidecar (same contract as norm)."""
+        for bad in ("Reference", "subpixl", ""):
+            cfg = ModelConfig(num_features=8, num_residuals=1, head=bad)
+            with pytest.raises(ValueError, match="head"):
+                init_generator(cfg, jax.random.key(0), sample_hw=(8, 8))
+
     def test_non_power_of_two_upscale_raises(self):
         for bad in (1, 3, 6):
             cfg = ModelConfig(
