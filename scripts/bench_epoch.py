@@ -88,6 +88,9 @@ def main():
                     help="compute held-out PSNR/SSIM after each epoch "
                          "(for quality curves, e.g. F=64 vs F=128)")
     ap.add_argument("--val-images", type=int, default=48)
+    ap.add_argument("--lr-generator", type=float, default=1e-4,
+                    help="generator LR (GroupNorm tolerates ~3x the "
+                         "reference's 1e-4; see PARITY.md quality tables)")
     args = ap.parse_args()
 
     h, w = 512, 1024
@@ -128,7 +131,10 @@ def main():
         pool=PoolConfig(
             num_generators=args.pool, member_exec=args.pool_exec
         ),
-        train=TrainConfig(use_gan=args.gan, num_epochs=args.epochs),
+        train=TrainConfig(
+            use_gan=args.gan, num_epochs=args.epochs,
+            lr_generator=args.lr_generator,
+        ),
     )
     trainer = Trainer(cfg)
     pipeline = TrainPipeline(

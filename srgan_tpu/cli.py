@@ -84,6 +84,11 @@ def _add_train(sub):
     p.add_argument("--spot-size", type=int, default=1,
                    help="square spot side for salt & pepper corruption")
     p.add_argument("--lr-generator", type=float, default=1e-4)
+    p.add_argument("--lr-schedule", choices=("linear", "cosine"),
+                   default="linear",
+                   help="linear = the reference's LinearLR 1->0.01 "
+                        "(train.py:70-71); cosine = its commented-out "
+                        "CosineAnnealingLR variant (train.py:68-69)")
     p.add_argument("--lr-discriminator", type=float, default=5e-5)
     p.add_argument("--results-dir", default="results")
     p.add_argument("--prefix", default="Training")
@@ -224,6 +229,7 @@ def main(argv=None):
             train=TrainConfig(
                 num_epochs=args.epochs,
                 lr_generator=args.lr_generator,
+                lr_schedule=args.lr_schedule,
                 lr_discriminator=args.lr_discriminator,
                 use_gan=args.gan,
                 perceptual_weight=args.perceptual,
