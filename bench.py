@@ -135,6 +135,18 @@ def bench_synthetic_step(on_tpu: bool) -> float:
     )
     lr = jnp.asarray(1e-4)
 
+    # XLA's own post-optimization FLOP count for the step executable —
+    # lets the driver-recorded line carry achieved TFLOPS/MFU next to the
+    # raw rate (full breakdown: scripts/mfu_report.py).
+    flops = None
+    try:
+        cost = generator_pixel_step.lower(
+            state, hr, lr_imgs, lr
+        ).compile().cost_analysis()
+        flops = float((cost[0] if isinstance(cost, list) else cost)["flops"])
+    except Exception:
+        pass
+
     # Warmup / compile. NOTE: timing forces a host fetch of the final loss
     # (float(...)) rather than block_until_ready — on the axon TPU tunnel the
     # latter returns before execution finishes, giving fantasy numbers.
@@ -146,7 +158,9 @@ def bench_synthetic_step(on_tpu: bool) -> float:
         state, m = generator_pixel_step(state, hr, lr_imgs, lr)
     float(m["g_loss"])
     dt = time.perf_counter() - t0
-    return batch * steps / dt
+    rate = batch * steps / dt
+    tflops = flops * steps / dt / 1e12 if flops else None
+    return rate, tflops
 
 
 def _epoch_rate(cfg, data_dir: str, epochs: int) -> float:
@@ -272,13 +286,22 @@ def bench_serving(on_tpu: bool) -> dict:
     # steady from the first step, so a few iterations suffice (each one
     # moves a 75 MB u8 frame batch ≈ 4 s over the ~20 MB/s tunnel).
     fetch_steps = min(steps, 5)
+    frame_bytes = batch * (lr_h * 4) * (lr_w * 4) * 3  # u8 SR frames
     t0 = time.perf_counter()
     for _ in range(fetch_steps):
         np.asarray(infer_step_u8(model.apply, params, lr_imgs))
-    fetch_rate = batch * fetch_steps / (time.perf_counter() - t0)
+    fetch_dt = time.perf_counter() - t0
+    # The fetch rate is a HOST-LINK metric (the dev tunnel swings
+    # 5-20 MB/s day to day); reporting the implied link bandwidth next to
+    # it makes a low fetch number attributable to the link, not the chip.
     return {
         "serving_images_per_sec_device": round(device_rate, 3),
-        "serving_images_per_sec_fetch_u8": round(fetch_rate, 3),
+        "serving_images_per_sec_fetch_u8": round(
+            batch * fetch_steps / fetch_dt, 3
+        ),
+        "serving_fetch_link_mbps": round(
+            frame_bytes * fetch_steps / fetch_dt / 1e6, 1
+        ),
     }
 
 
@@ -287,10 +310,14 @@ def main():
     full = os.environ.get("BENCH_FULL")
     run_extras = full == "1" or (full != "0" and on_tpu)
 
-    ips = bench_synthetic_step(on_tpu)
+    ips, tflops = bench_synthetic_step(on_tpu)
     baseline = _baseline_ips()
 
     extras = {}
+    if tflops:
+        extras["train_step_achieved_tflops"] = round(tflops, 2)
+        if on_tpu:  # v5e bf16 dense peak; see scripts/mfu_report.py
+            extras["train_step_mfu_pct"] = round(100.0 * tflops / 197.0, 1)
     if run_extras:
         for fn, null_keys in (
             (bench_real_epochs, ("real_epoch_pixel_images_per_sec",
