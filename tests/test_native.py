@@ -75,6 +75,33 @@ class TestNativeLoader:
         assert native.load_image(p, 8, 8) is None
         assert native.load_image(str(tmp_path / "missing.png"), 8, 8) is None
 
+    def test_truncated_files_skipped_not_crashed(self, tmp_path, rng):
+        """Fuzz the decoders' error paths: VALID headers with bodies cut at
+        many points (mid-chunk, mid-scanline, mid-marker) must come back as
+        skips through the longjmp handlers — never a crash, hang, or
+        partial-write OOB. A decode that happens to succeed (cut past the
+        image data) must still be well-formed."""
+        import io
+
+        src = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+        blobs = {}
+        for fmt, name in (("PNG", "t.png"), ("JPEG", "t.jpg")):
+            buf = io.BytesIO()
+            Image.fromarray(src).save(buf, format=fmt)
+            blobs[name] = buf.getvalue()
+        k = 0
+        for name, blob in blobs.items():
+            for frac in (0.1, 0.3, 0.5, 0.7, 0.9, 0.99):
+                p = str(tmp_path / f"cut{k}_{name}")
+                with open(p, "wb") as f:
+                    f.write(blob[: max(16, int(len(blob) * frac))])
+                k += 1
+                out = native.load_image(p, 16, 16)
+                if out is not None:  # tolerated tail truncation
+                    assert out.shape == (16, 16, 3)
+                    assert np.isfinite(out).all()
+                    assert 0.0 <= out.min() and out.max() <= 1.0
+
     def test_batch(self, tmp_path, rng):
         paths = []
         for i in range(4):
