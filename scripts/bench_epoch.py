@@ -78,6 +78,9 @@ def main():
     ap.add_argument("--gan", action="store_true")
     ap.add_argument("--pool", type=int, default=1)
     ap.add_argument("--features", type=int, default=64)
+    ap.add_argument("--d-features", type=int, default=64,
+                    help="discriminator base width (scale with --features "
+                         "so the critic keeps pace with a wider generator)")
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint residual blocks (fits pool+GAN at "
                          "larger batches)")
@@ -123,6 +126,7 @@ def main():
             compute_dtype="bfloat16" if on_tpu else "float32",
         ),
         discriminator=DiscriminatorConfig(
+            num_filters=args.d_features,
             compute_dtype="bfloat16" if on_tpu else "float32",
         ),
         data=DataConfig(

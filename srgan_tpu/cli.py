@@ -31,6 +31,10 @@ def _add_train(sub):
                    help="discriminator conv/pool stages (4 = reference "
                         "parity, needs >=428px inputs; fewer stages give a "
                         "shallower patch critic for smaller images)")
+    p.add_argument("--d-features", type=int, default=64,
+                   help="discriminator base channel width (64 = reference "
+                        "parity; scale with --num-features so the critic "
+                        "keeps pace with a wider generator, e.g. 128)")
     p.add_argument("--vgg-weights", default=None, metavar="NPZ",
                    help="pretrained VGG19 feature weights (.npz exported "
                         "via vgg.export_torch_vgg19_to_npz; torch-free). "
@@ -199,6 +203,7 @@ def main(argv=None):
         cfg = Config(
             discriminator=DiscriminatorConfig(
                 num_stages=args.d_stages,
+                num_filters=args.d_features,
                 compute_dtype="bfloat16" if args.bf16 else "float32",
             ),
             model=ModelConfig(
