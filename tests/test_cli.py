@@ -1,0 +1,85 @@
+"""CLI argument → Config assembly tests.
+
+The reference has no train CLI at all (hyperparameters are hardcoded,
+``src/train.py:23,40-41,94-95``; only eval has argparse,
+``src/evaluation.py:66-77``). These tests pin the flag→config wiring of
+``srgan_tpu.cli train`` without running training: ``Trainer`` is swapped for
+a recorder so each test is milliseconds, and the full training drive stays
+covered by the e2e suite + the verify recipe.
+"""
+
+import pytest
+
+import srgan_tpu.cli as cli
+import srgan_tpu.training.loop as loop_mod
+
+
+class _Recorder:
+    last_cfg = None
+
+    def __init__(self, cfg):
+        _Recorder.last_cfg = cfg
+
+    def train(self, **kw):
+        return {}
+
+
+@pytest.fixture()
+def capture_cfg(monkeypatch, tmp_path):
+    """Run ``cli.main(['train', ...])`` and return the assembled Config."""
+    monkeypatch.setattr(loop_mod, "Trainer", _Recorder)
+
+    def run(*extra):
+        _Recorder.last_cfg = None
+        cli.main([
+            "train",
+            "--train-dir", str(tmp_path),
+            "--val-dir", str(tmp_path),
+            "--results-dir", str(tmp_path / "results"),
+            *extra,
+        ])
+        assert _Recorder.last_cfg is not None
+        return _Recorder.last_cfg
+
+    return run
+
+
+class TestTrainConfigAssembly:
+    def test_reference_defaults(self, capture_cfg):
+        cfg = capture_cfg()
+        # reference constants: epochs/batch (src/train.py:23,94), LRs
+        # (src/train.py:40-41), clip size (src/variables.py:5-6)
+        assert cfg.train.num_epochs == 30
+        assert cfg.data.batch_size == 12
+        assert cfg.train.lr_generator == pytest.approx(1e-4)
+        assert cfg.train.lr_discriminator == pytest.approx(5e-5)
+        assert cfg.data.hr_size == (512, 1024)
+        assert cfg.model.num_features == 64
+        assert cfg.discriminator.num_filters == 64
+        assert cfg.discriminator.num_stages == 4
+        assert not cfg.train.use_gan
+
+    def test_discriminator_width_and_stages(self, capture_cfg):
+        cfg = capture_cfg(
+            "--gan", "--d-features", "128", "--d-stages", "3",
+            "--num-features", "128",
+        )
+        assert cfg.train.use_gan
+        assert cfg.discriminator.num_filters == 128
+        assert cfg.discriminator.num_stages == 3
+        assert cfg.model.num_features == 128
+
+    def test_pool_and_gate_flags(self, capture_cfg):
+        cfg = capture_cfg(
+            "--num-generators", "3", "--pool-exec", "vmap",
+            "--starting-gan-loss", "0.1", "--pre-loss-gate",
+        )
+        assert cfg.pool.num_generators == 3
+        assert cfg.pool.member_exec == "vmap"
+        assert cfg.pool.starting_gan_loss == pytest.approx(0.1)
+        assert cfg.pool.pre_loss_gate
+
+    def test_bf16_sets_both_compute_dtypes(self, capture_cfg):
+        cfg = capture_cfg("--bf16")
+        assert cfg.model.compute_dtype == "bfloat16"
+        assert cfg.discriminator.compute_dtype == "bfloat16"
