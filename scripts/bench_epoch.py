@@ -86,6 +86,13 @@ def main():
                          "larger batches)")
     ap.add_argument("--pool-exec", choices=("scan", "vmap"), default="scan",
                     help="stacked-pool executor (PoolConfig.member_exec)")
+    ap.add_argument("--no-mutual", action="store_true",
+                    help="ablate the epoch-end weak-learns-from-strong "
+                         "interpolation (readme.md:13)")
+    ap.add_argument("--starting-gan-loss", type=float, default=None,
+                    help="override the two-regime gate threshold "
+                         "(readme.md:10); e.g. 1e9 makes every member "
+                         "always gate-ON (P(GAN)=p_gan_above regime off)")
     ap.add_argument("--data-dir", default="/tmp/srbench_data")
     ap.add_argument("--score", action="store_true",
                     help="compute held-out PSNR/SSIM after each epoch "
@@ -133,7 +140,12 @@ def main():
             hr_size=(h, w), batch_size=args.batch, device_cache="on"
         ),
         pool=PoolConfig(
-            num_generators=args.pool, member_exec=args.pool_exec
+            num_generators=args.pool, member_exec=args.pool_exec,
+            mutual_learning=not args.no_mutual,
+            **(
+                {"starting_gan_loss": args.starting_gan_loss}
+                if args.starting_gan_loss is not None else {}
+            ),
         ),
         train=TrainConfig(
             use_gan=args.gan, num_epochs=args.epochs,
