@@ -86,6 +86,10 @@ def main():
                          "larger batches)")
     ap.add_argument("--pool-exec", choices=("scan", "vmap"), default="scan",
                     help="stacked-pool executor (PoolConfig.member_exec)")
+    ap.add_argument("--d-target", choices=("leader", "round_robin"),
+                    default="leader",
+                    help="which member's SR trains the shared critic "
+                         "(PoolConfig.d_train_target)")
     ap.add_argument("--no-mutual", action="store_true",
                     help="ablate the epoch-end weak-learns-from-strong "
                          "interpolation (readme.md:13)")
@@ -142,6 +146,7 @@ def main():
         pool=PoolConfig(
             num_generators=args.pool, member_exec=args.pool_exec,
             mutual_learning=not args.no_mutual,
+            d_train_target=args.d_target,
             **(
                 {"starting_gan_loss": args.starting_gan_loss}
                 if args.starting_gan_loss is not None else {}
