@@ -105,6 +105,9 @@ def main():
     ap.add_argument("--lr-generator", type=float, default=1e-4,
                     help="generator LR (GroupNorm tolerates ~3x the "
                          "reference's 1e-4; see PARITY.md quality tables)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="TrainConfig.seed (init + noise + gate RNG); vary "
+                         "to measure seed-to-seed quality spread")
     args = ap.parse_args()
 
     h, w = 512, 1024
@@ -154,7 +157,7 @@ def main():
         ),
         train=TrainConfig(
             use_gan=args.gan, num_epochs=args.epochs,
-            lr_generator=args.lr_generator,
+            lr_generator=args.lr_generator, seed=args.seed,
         ),
     )
     trainer = Trainer(cfg)
