@@ -133,6 +133,10 @@ def _add_eval(sub):
     p.add_argument("--torch-checkpoint", default=None,
                    help="evaluate a reference PyTorch .pth generator "
                         "directly (ported on the fly)")
+    p.add_argument("--ensemble", action="store_true",
+                   help="serve the member-MEAN SR of every pool generator "
+                        "in the checkpoint (the reference serves only "
+                        "member 0; measured quality gain in PARITY.md)")
 
 
 def _add_upscale(sub):
@@ -142,6 +146,10 @@ def _add_upscale(sub):
     p.add_argument("--results-dir", default="results")
     p.add_argument("--prefix", default="Training")
     p.add_argument("--enhance", action="store_true")
+    p.add_argument("--ensemble", action="store_true",
+                   help="serve the member-MEAN SR of every pool generator "
+                        "in the checkpoint (the reference serves only "
+                        "member 0; measured quality gain in PARITY.md)")
     p.add_argument("--tile", type=int, default=0,
                    help="tile size (LR px) for tiled inference: one compiled "
                         "executable for ANY image size, HBM bounded by "
@@ -165,6 +173,10 @@ def _add_upscale_dir(sub):
     p.add_argument("--results-dir", default="results")
     p.add_argument("--prefix", default="Training")
     p.add_argument("--enhance", action="store_true")
+    p.add_argument("--ensemble", action="store_true",
+                   help="serve the member-MEAN SR of every pool generator "
+                        "in the checkpoint (the reference serves only "
+                        "member 0; measured quality gain in PARITY.md)")
     p.add_argument("--batch-size", type=int, default=8,
                    help="images per device batch (same-size images batch "
                         "together; sizes are bucketed automatically)")
@@ -294,6 +306,7 @@ def main(argv=None):
             extra_downscale=not args.no_extra_downscale,
             apply_enhance=not args.no_enhance,
             bucketed=args.bucketed,
+            ensemble=args.ensemble,
         )
     elif args.cmd == "upscale":
         import os
@@ -311,7 +324,7 @@ def main(argv=None):
         if ckpt_dir is not None:
             up = Upscaler.from_checkpoint(
                 args.results_dir, args.prefix, enhance_output=args.enhance,
-                mesh=mesh,
+                mesh=mesh, ensemble=args.ensemble,
             )
         else:
             print("warning: no checkpoint found, using random weights",
@@ -346,6 +359,7 @@ def main(argv=None):
             enhance_output=args.enhance,
             batch_size=args.batch_size,
             mesh=mesh,
+            ensemble=args.ensemble,
         )
         print(f"upscaled {n} images into {args.output_dir}")
 

@@ -51,6 +51,7 @@ def evaluate_model(
     extra_downscale: bool = True,
     apply_enhance: bool = True,
     bucketed: bool = False,
+    ensemble: bool = False,
     verbose: bool = True,
 ) -> tuple:
     """Returns (avg_psnr, avg_ssim) over the paired eval set
@@ -71,7 +72,9 @@ def evaluate_model(
         if torch_checkpoint is not None:
             upscaler = Upscaler.from_torch_checkpoint(torch_checkpoint)
         elif latest_ckpt_dir(results_dir, prefix) is not None:
-            upscaler = Upscaler.from_checkpoint(results_dir, prefix)
+            upscaler = Upscaler.from_checkpoint(
+                results_dir, prefix, ensemble=ensemble
+            )
         else:
             # Never score an untrained network silently: ~8 dB averages
             # would read as "the model's quality" (same defect class as
@@ -102,9 +105,11 @@ def evaluate_model(
     # HR resize + both metrics (the module docstring's contract). Scoring
     # with eager per-op dispatch instead costs ~25 dispatches per SSIM —
     # 50-100 ms/image of pure latency over the dev tunnel (~2 ms/call).
+    fwd = _forward_fn(upscaler)
+
     @jax.jit
     def score(params, lr_b, hr_b):
-        sr = upscaler.model.apply({"params": params}, lr_b)
+        sr = fwd(params, lr_b)
         if apply_enhance:
             sr = enhance(sr)
         hr_r = resize_bilinear(hr_b, (sr.shape[1], sr.shape[2]))
@@ -145,6 +150,21 @@ def evaluate_model(
     if verbose:
         print(f"\naverage psnr = {avg_psnr}, average ssim = {avg_ssim}")
     return avg_psnr, avg_ssim
+
+
+def _forward_fn(upscaler):
+    """SR forward matching the upscaler's mode: plain apply, or the pool-
+    ensemble member mean when it was built with ``ensemble=True`` (the
+    stacked params carry a leading pool axis)."""
+    if getattr(upscaler, "ensemble", False):
+        def fwd(params, lr_b):
+            srs = jax.vmap(
+                lambda p: upscaler.model.apply({"params": p}, lr_b)
+            )(params)
+            return jnp.mean(srs, axis=0)
+
+        return fwd
+    return lambda params, lr_b: upscaler.model.apply({"params": params}, lr_b)
 
 
 _SSIM_WIN = 3  # skimage win_size the canonical metrics pin (ops/metrics.py)
@@ -256,9 +276,11 @@ def _evaluate_bucketed(
                 stacklevel=2,
             )
 
+    fwd = _forward_fn(upscaler)
+
     @jax.jit
     def score(params, lr_pad, hr_pad, valid_lh, valid_lw):
-        sr = upscaler.model.apply({"params": params}, lr_pad[None])
+        sr = fwd(params, lr_pad[None])
         if apply_enhance:
             sr = enhance(sr)
         sr = sr[0]

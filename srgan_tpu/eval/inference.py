@@ -56,11 +56,18 @@ class Upscaler:
         *,
         enhance_output: bool = False,
         mesh=None,
+        ensemble: bool = False,
     ):
+        """``ensemble=True``: ``params`` carries a leading pool axis and
+        every forward returns the member-MEAN SR (``infer_step_ensemble``).
+        The multi-generator pool trains N members but the reference serves
+        only member 0 (``src/evaluation.py:22-31``); ensembling puts the
+        rest to work at inference time."""
         self.model = model
         self.params = params
         self.enhance_output = enhance_output
         self.mesh = mesh
+        self.ensemble = ensemble
         self._replicated_params = None
 
     @classmethod
@@ -77,12 +84,19 @@ class Upscaler:
         results_dir: str,
         prefix: str = "Training",
         model_cfg: Optional[ModelConfig] = None,
+        ensemble: bool = False,
         **kw,
     ):
         """Load the lead generator from an Orbax training checkpoint (the
         analogue of eval's ``Training_generator_model_0.pth`` load with DDP
         prefix stripping, ``src/evaluation.py:22-31``). The architecture is
-        read from the checkpoint's JSON sidecar unless given explicitly."""
+        read from the checkpoint's JSON sidecar unless given explicitly.
+
+        ``ensemble=True`` loads EVERY pool member and serves the
+        member-mean SR (one fused executable; a single-member checkpoint
+        degrades to the plain forward)."""
+        import jax.numpy as jnp
+
         from srgan_tpu.training import checkpoint as ckpt
 
         model_cfg = model_cfg or ckpt.load_model_config(results_dir, prefix)
@@ -92,6 +106,14 @@ class Upscaler:
                 "model_cfg explicitly for checkpoints from other sources"
             )
         model = SRResNet.from_config(model_cfg)
+        if ensemble:
+            members = ckpt.restore_all_generator_params(results_dir, prefix)
+            if len(members) == 1:
+                return cls(model, members[0], **kw)
+            import jax
+
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+            return cls(model, stacked, ensemble=True, **kw)
         params = ckpt.restore_generator_params(results_dir, prefix)
         return cls(model, params, **kw)
 
@@ -112,6 +134,12 @@ class Upscaler:
         batched = arr[None] if arr.ndim == 3 else arr
         if self.mesh is not None:
             sr = self._upscale_sharded(batched)
+        elif self.ensemble:
+            from srgan_tpu.training.steps import infer_step_ensemble
+
+            sr = infer_step_ensemble(
+                self.model.apply, self.params, jnp.asarray(batched)
+            )
         else:
             sr = infer_step(
                 self.model.apply, self.params, jnp.asarray(batched)
@@ -127,15 +155,19 @@ class Upscaler:
         bottleneck on thin host links. Bit-identical to
         ``array_to_image(self.upscale(x))``'s uint8 output (the enhance
         epilogue runs inside the same executable)."""
-        from srgan_tpu.training.steps import infer_step_u8
+        from srgan_tpu.training.steps import (
+            infer_step_ensemble_u8,
+            infer_step_u8,
+        )
 
         arr = to_float01(image)
         batched = arr[None] if arr.ndim == 3 else arr
         if self.mesh is not None:
             out = np.asarray(self._upscale_sharded(batched, u8=True))
         else:
+            step = infer_step_ensemble_u8 if self.ensemble else infer_step_u8
             out = np.asarray(
-                infer_step_u8(
+                step(
                     self.model.apply,
                     self.params,
                     jnp.asarray(batched),
@@ -150,7 +182,11 @@ class Upscaler:
         padded to a multiple of the mesh size so every chip gets an equal
         static-shape shard; padding rows are dropped on return."""
         from srgan_tpu.parallel.mesh import replicate, shard_batch
-        from srgan_tpu.training.steps import infer_step_u8
+        from srgan_tpu.training.steps import (
+            infer_step_ensemble,
+            infer_step_ensemble_u8,
+            infer_step_u8,
+        )
 
         if self._replicated_params is None:
             self._replicated_params = replicate(self.mesh, self.params)
@@ -163,12 +199,14 @@ class Upscaler:
             )
         x = shard_batch(self.mesh, jnp.asarray(batched))
         if u8:
-            sr = infer_step_u8(
+            step = infer_step_ensemble_u8 if self.ensemble else infer_step_u8
+            sr = step(
                 self.model.apply, self._replicated_params, x,
                 enhance_out=self.enhance_output,
             )
         else:
-            sr = infer_step(self.model.apply, self._replicated_params, x)
+            step = infer_step_ensemble if self.ensemble else infer_step
+            sr = step(self.model.apply, self._replicated_params, x)
         return sr[:n]
 
     def upscale_file(self, in_path: str, out_path: str) -> None:
@@ -332,6 +370,7 @@ def upscale_directory(
     batch_size: int = 8,
     upscaler: Optional[Upscaler] = None,
     mesh=None,
+    ensemble: bool = False,
     min_bucket_for_direct: int = 4,
     tile: int = 256,
     tile_batch: int = 4,
@@ -373,7 +412,8 @@ def upscale_directory(
 
         upscaler = (
             Upscaler.from_checkpoint(
-                results_dir, prefix, enhance_output=enhance_output, mesh=mesh
+                results_dir, prefix, enhance_output=enhance_output,
+                mesh=mesh, ensemble=ensemble,
             )
             if latest_ckpt_dir(results_dir, prefix) is not None
             else Upscaler.random_init(enhance_output=enhance_output, mesh=mesh)

@@ -423,6 +423,14 @@ def load_model_config(results_dir: str, prefix: str) -> Optional[ModelConfig]:
 def restore_generator_params(results_dir: str, prefix: str, index: int = 0):
     """Raw (template-free) restore of one generator's params — the light
     path for inference, no optimizer state or Trainer needed."""
+    return restore_all_generator_params(results_dir, prefix)[index]
+
+
+def restore_all_generator_params(results_dir: str, prefix: str) -> list:
+    """Every pool member's params (loss-sorted, leader first — the order
+    snapshots are written in). Feeds ensemble inference
+    (``Upscaler.from_checkpoint(..., ensemble=True)``): the pool's extra
+    members are otherwise dead weight at serving time."""
     path = latest_ckpt_dir(results_dir, prefix)
     if path is None:
         raise FileNotFoundError(
@@ -430,12 +438,14 @@ def restore_generator_params(results_dir: str, prefix: str, index: int = 0):
         )
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(path)
-    params = restored["generators"][index]["params"]
     # legacy pre-explicit-name remat checkpoints (see
     # _ondisk_uses_legacy_remat_names)
-    return _rename_block_keys(
-        params, "CheckpointResidualBlock_", "ResidualBlock_"
-    )
+    return [
+        _rename_block_keys(
+            g["params"], "CheckpointResidualBlock_", "ResidualBlock_"
+        )
+        for g in restored["generators"]
+    ]
 
 
 def finetune_entry(cfg: TrainConfig) -> TrainConfig:

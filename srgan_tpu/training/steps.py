@@ -309,6 +309,37 @@ def infer_step(apply_fn, params, lr_imgs: jax.Array) -> jax.Array:
     return apply_fn({"params": params}, lr_imgs)
 
 
+@functools.partial(jax.jit, static_argnames=("apply_fn",))
+def infer_step_ensemble(apply_fn, stacked_params, lr_imgs: jax.Array):
+    """Pool-ensemble SR forward: mean of every member's output.
+
+    ``stacked_params`` carries a leading pool axis (the vmap-stacked
+    representation, ``training.stacked_pool``). Classic SR self-ensembling
+    over the pool the README algorithm already trains — the reference
+    never uses its non-leader members at inference
+    (``src/evaluation.py:22-31`` loads only ``..._model_0.pth``); here
+    they buy output quality for free at serving time (measured: PARITY.md
+    pool-ablation section). One fused executable: XLA batches the N
+    forwards and the mean."""
+    srs = jax.vmap(lambda p: apply_fn({"params": p}, lr_imgs))(stacked_params)
+    return jnp.mean(srs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "enhance_out"))
+def infer_step_ensemble_u8(
+    apply_fn, stacked_params, lr_imgs: jax.Array, enhance_out: bool = False
+) -> jax.Array:
+    """Ensemble twin of :func:`infer_step_u8`: member-mean SR, optional
+    sharpen epilogue, device-side uint8 quantization (same formula)."""
+    from srgan_tpu.ops.filters import sharpen
+
+    sr = infer_step_ensemble(apply_fn, stacked_params, lr_imgs)
+    if enhance_out:
+        sr = sharpen(sr)
+    sr = jnp.clip(sr.astype(jnp.float32), 0.0, 1.0)
+    return jnp.floor(sr * 255.0 + 0.5).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("apply_fn", "enhance_out"))
 def infer_step_u8(
     apply_fn, params, lr_imgs: jax.Array, enhance_out: bool = False

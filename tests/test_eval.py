@@ -542,3 +542,130 @@ class TestImageIO:
         arr = np.array([[[1.5, -0.2, 0.5]]], dtype=np.float32)
         img = np.asarray(array_to_image(arr))
         assert img[0, 0, 0] == 255 and img[0, 0, 1] == 0
+
+
+class TestEnsembleInference:
+    """Pool-ensemble serving: the member-MEAN SR (the reference loads only
+    ``..._model_0.pth``, ``src/evaluation.py:22-31``; the pool's extra
+    members are free quality at inference — PARITY pool-ablation section)."""
+
+    @staticmethod
+    def _stack(members):
+        import jax
+        import jax.numpy as jnp
+
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+
+    def test_identical_members_match_single(self, rng):
+        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        single = Upscaler.random_init(cfg, seed=0)
+        ens = Upscaler(
+            single.model,
+            self._stack([single.params, single.params]),
+            ensemble=True,
+        )
+        img = rng.random((10, 12, 3)).astype(np.float32)
+        np.testing.assert_allclose(
+            ens.upscale(img), single.upscale(img), atol=1e-6
+        )
+
+    def test_mean_of_two_distinct_members(self, rng):
+        import jax
+
+        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        model = Upscaler.random_init(cfg, seed=0).model
+        from srgan_tpu.models.srresnet import init_generator
+
+        _, p0 = init_generator(cfg, jax.random.key(0))
+        _, p1 = init_generator(cfg, jax.random.key(1))
+        img = rng.random((8, 8, 3)).astype(np.float32)
+        a = Upscaler(model, p0).upscale(img)
+        b = Upscaler(model, p1).upscale(img)
+        ens = Upscaler(model, self._stack([p0, p1]), ensemble=True)
+        got = ens.upscale(img)
+        want = np.clip((a + b) / 2.0, 0.0, 1.0)
+        # a/b are clipped AFTER the mean inside the ensemble path, so only
+        # compare where neither member clipped
+        inside = (a > 0) & (a < 1) & (b > 0) & (b < 1)
+        np.testing.assert_allclose(got[inside], want[inside], atol=1e-5)
+        assert np.abs(got - a).max() > 1e-4  # differs from either member
+
+    def test_u8_path_matches_float_path(self, rng):
+        import jax
+
+        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        from srgan_tpu.models.srresnet import init_generator
+
+        model, p0 = init_generator(cfg, jax.random.key(0))
+        _, p1 = init_generator(cfg, jax.random.key(1))
+        ens = Upscaler(model, self._stack([p0, p1]), ensemble=True)
+        img = rng.random((8, 8, 3)).astype(np.float32)
+        want = np.floor(np.clip(ens.upscale(img), 0, 1) * 255 + 0.5).astype(
+            np.uint8
+        )
+        np.testing.assert_array_equal(ens.upscale_u8(img), want)
+
+    def test_from_checkpoint_ensemble_roundtrip(self, tmp_path):
+        """Save a 2-member pool snapshot, reload with ensemble=True, and
+        check the served output is the member mean."""
+        import jax
+
+        from srgan_tpu.config import Config, DataConfig, PoolConfig, TrainConfig
+        from srgan_tpu.training.checkpoint import save_checkpoint
+        from srgan_tpu.training.loop import Trainer
+
+        cfg = Config(
+            model=ModelConfig(num_features=8, num_residuals=1,
+                              upscale_factor=2),
+            data=DataConfig(hr_size=(16, 16), upscale_factor=2, batch_size=2),
+            pool=PoolConfig(num_generators=2),
+            train=TrainConfig(results_dir=str(tmp_path)),
+        )
+        trainer = Trainer(cfg, use_mesh=False)
+        trainer._sync_pool_from_stacked()
+        save_checkpoint(
+            str(tmp_path), "Training", pool=trainer.pool, d_state=None,
+            epoch=1, model_config=cfg.model,
+        )
+        rng = np.random.default_rng(0)
+        img = rng.random((8, 8, 3)).astype(np.float32)
+        lead = Upscaler.from_checkpoint(str(tmp_path), "Training")
+        ens = Upscaler.from_checkpoint(
+            str(tmp_path), "Training", ensemble=True
+        )
+        assert ens.ensemble
+        m1 = jax.tree.map(lambda x: x[1], ens.params)
+        b = Upscaler(ens.model, m1).upscale(img)
+        a = lead.upscale(img)
+        inside = (a > 0) & (a < 1) & (b > 0) & (b < 1)
+        np.testing.assert_allclose(
+            ens.upscale(img)[inside], ((a + b) / 2.0)[inside], atol=1e-5
+        )
+
+    def test_eval_cli_ensemble_flag_runs(self, tmp_path):
+        """evaluate_model(ensemble=True) scores through the member-mean
+        forward (both the per-size and bucketed paths build from
+        _forward_fn)."""
+        import jax
+
+        from srgan_tpu.models.srresnet import init_generator
+
+        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        model, p0 = init_generator(cfg, jax.random.key(0))
+        _, p1 = init_generator(cfg, jax.random.key(1))
+        stacked = self._stack([p0, p1])
+        up = Upscaler(model, stacked, ensemble=True)
+        root = str(tmp_path)
+        _make_pair_dirs(root)
+        psnr_e, ssim_e = evaluate_model(
+            root, "LRbicx4", "original", upscaler=up,
+            extra_downscale=False, apply_enhance=False, verbose=False,
+        )
+        assert np.isfinite(psnr_e) and np.isfinite(ssim_e)
+        # and it differs from the lead-only score (distinct members)
+        lead = Upscaler(model, p0)
+        psnr_l, _ = evaluate_model(
+            root, "LRbicx4", "original", upscaler=lead,
+            extra_downscale=False, apply_enhance=False, verbose=False,
+        )
+        assert psnr_e != pytest.approx(psnr_l, abs=1e-6)
