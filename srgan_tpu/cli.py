@@ -54,6 +54,14 @@ def _add_train(sub):
                         "kernel engages); 'vmap' interleaves all members "
                         "in one differentiated region (N x memory — needs "
                         "--remat + smaller batch at flagship shapes)")
+    p.add_argument("--no-mutual", action="store_true",
+                   help="disable the epoch-end weak-learns-from-strong "
+                        "interpolation (readme.md:13). Leader quality is "
+                        "unaffected (PARITY pool ablation); diverse members "
+                        "can ensemble better at serving time (--ensemble)")
+    p.add_argument("--mutual-alpha", type=float, default=0.2,
+                   help="weak<-strong interpolation strength "
+                        "(utils.py:113-115's alpha)")
     p.add_argument("--pre-loss-gate", action="store_true",
                    help="modulate P(GAN) by own loss vs last epoch's "
                         "pre_loss snapshot (readme.md:5 clause; off = EMA "
@@ -242,6 +250,8 @@ def main(argv=None):
                 starting_gan_loss=args.starting_gan_loss,
                 pre_loss_gate=args.pre_loss_gate,
                 member_exec=args.pool_exec,
+                mutual_learning=not args.no_mutual,
+                mutual_alpha=args.mutual_alpha,
             ),
             train=TrainConfig(
                 num_epochs=args.epochs,

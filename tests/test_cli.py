@@ -83,3 +83,9 @@ class TestTrainConfigAssembly:
         cfg = capture_cfg("--bf16")
         assert cfg.model.compute_dtype == "bfloat16"
         assert cfg.discriminator.compute_dtype == "bfloat16"
+
+    def test_mutual_learning_flags(self, capture_cfg):
+        cfg = capture_cfg("--num-generators", "3", "--no-mutual",
+                          "--mutual-alpha", "0.5")
+        assert not cfg.pool.mutual_learning
+        assert cfg.pool.mutual_alpha == pytest.approx(0.5)
