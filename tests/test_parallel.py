@@ -386,3 +386,26 @@ class TestShardedInference:
         a = single.upscale_tiled(img, tile=32, overlap=20, batch_size=8)
         b = sharded.upscale_tiled(img, tile=32, overlap=20, batch_size=8)
         np.testing.assert_allclose(b, a, atol=1e-5)
+
+    def test_sharded_ensemble_matches_unsharded_ensemble(self, rng):
+        """Pool-ensemble serving over the mesh: the stacked member params
+        replicate and the batch shards; output == the single-device
+        ensemble mean (incl. u8 quantization parity)."""
+        import jax
+
+        from srgan_tpu.eval.inference import Upscaler
+        from srgan_tpu.models.srresnet import init_generator
+
+        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        model, p0 = init_generator(cfg, jax.random.key(0))
+        _, p1 = init_generator(cfg, jax.random.key(1))
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), p0, p1)
+        ens = Upscaler(model, stacked, ensemble=True)
+        ens_dp = Upscaler(model, stacked, ensemble=True, mesh=make_mesh())
+        batch = rng.random((11, 8, 8, 3)).astype(np.float32)
+        np.testing.assert_allclose(
+            ens_dp.upscale(batch), ens.upscale(batch), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            ens_dp.upscale_u8(batch), ens.upscale_u8(batch)
+        )
