@@ -145,6 +145,9 @@ def _add_eval(sub):
                    help="serve the member-MEAN SR of every pool generator "
                         "in the checkpoint (the reference serves only "
                         "member 0; measured quality gain in PARITY.md)")
+    p.add_argument("--tta", action="store_true",
+                   help="geometric self-ensemble (x8 dihedral test-time "
+                        "augmentation); composes with --ensemble")
 
 
 def _add_upscale(sub):
@@ -158,6 +161,9 @@ def _add_upscale(sub):
                    help="serve the member-MEAN SR of every pool generator "
                         "in the checkpoint (the reference serves only "
                         "member 0; measured quality gain in PARITY.md)")
+    p.add_argument("--tta", action="store_true",
+                   help="geometric self-ensemble (x8 dihedral test-time "
+                        "augmentation); composes with --ensemble")
     p.add_argument("--tile", type=int, default=0,
                    help="tile size (LR px) for tiled inference: one compiled "
                         "executable for ANY image size, HBM bounded by "
@@ -185,6 +191,9 @@ def _add_upscale_dir(sub):
                    help="serve the member-MEAN SR of every pool generator "
                         "in the checkpoint (the reference serves only "
                         "member 0; measured quality gain in PARITY.md)")
+    p.add_argument("--tta", action="store_true",
+                   help="geometric self-ensemble (x8 dihedral test-time "
+                        "augmentation); composes with --ensemble")
     p.add_argument("--batch-size", type=int, default=8,
                    help="images per device batch (same-size images batch "
                         "together; sizes are bucketed automatically)")
@@ -317,6 +326,7 @@ def main(argv=None):
             apply_enhance=not args.no_enhance,
             bucketed=args.bucketed,
             ensemble=args.ensemble,
+            tta=args.tta,
         )
     elif args.cmd == "upscale":
         import os
@@ -334,7 +344,7 @@ def main(argv=None):
         if ckpt_dir is not None:
             up = Upscaler.from_checkpoint(
                 args.results_dir, args.prefix, enhance_output=args.enhance,
-                mesh=mesh, ensemble=args.ensemble,
+                mesh=mesh, ensemble=args.ensemble, tta=args.tta,
             )
         else:
             print("warning: no checkpoint found, using random weights",
@@ -370,6 +380,7 @@ def main(argv=None):
             batch_size=args.batch_size,
             mesh=mesh,
             ensemble=args.ensemble,
+            tta=args.tta,
         )
         print(f"upscaled {n} images into {args.output_dir}")
 

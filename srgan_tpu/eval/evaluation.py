@@ -52,6 +52,7 @@ def evaluate_model(
     apply_enhance: bool = True,
     bucketed: bool = False,
     ensemble: bool = False,
+    tta: bool = False,
     verbose: bool = True,
 ) -> tuple:
     """Returns (avg_psnr, avg_ssim) over the paired eval set
@@ -73,7 +74,7 @@ def evaluate_model(
             upscaler = Upscaler.from_torch_checkpoint(torch_checkpoint)
         elif latest_ckpt_dir(results_dir, prefix) is not None:
             upscaler = Upscaler.from_checkpoint(
-                results_dir, prefix, ensemble=ensemble
+                results_dir, prefix, ensemble=ensemble, tta=tta
             )
         else:
             # Never score an untrained network silently: ~8 dB averages
@@ -153,18 +154,25 @@ def evaluate_model(
 
 
 def _forward_fn(upscaler):
-    """SR forward matching the upscaler's mode: plain apply, or the pool-
-    ensemble member mean when it was built with ``ensemble=True`` (the
-    stacked params carry a leading pool axis)."""
+    """SR forward matching the upscaler's mode: plain apply, the pool-
+    ensemble member mean (``ensemble=True``: stacked params with a leading
+    pool axis), and/or the x8 dihedral self-ensemble (``tta=True``)."""
     if getattr(upscaler, "ensemble", False):
-        def fwd(params, lr_b):
+        def base(params, lr_b):
             srs = jax.vmap(
                 lambda p: upscaler.model.apply({"params": p}, lr_b)
             )(params)
             return jnp.mean(srs, axis=0)
+    else:
+        def base(params, lr_b):
+            return upscaler.model.apply({"params": params}, lr_b)
+    if getattr(upscaler, "tta", False):
+        from srgan_tpu.training.steps import _dihedral_mean
 
-        return fwd
-    return lambda params, lr_b: upscaler.model.apply({"params": params}, lr_b)
+        return lambda params, lr_b: _dihedral_mean(
+            lambda x: base(params, x), lr_b
+        )
+    return base
 
 
 _SSIM_WIN = 3  # skimage win_size the canonical metrics pin (ops/metrics.py)

@@ -57,17 +57,23 @@ class Upscaler:
         enhance_output: bool = False,
         mesh=None,
         ensemble: bool = False,
+        tta: bool = False,
     ):
         """``ensemble=True``: ``params`` carries a leading pool axis and
         every forward returns the member-MEAN SR (``infer_step_ensemble``).
         The multi-generator pool trains N members but the reference serves
         only member 0 (``src/evaluation.py:22-31``); ensembling puts the
-        rest to work at inference time."""
+        rest to work at inference time.
+
+        ``tta=True``: geometric self-ensemble (x8 dihedral TTA,
+        ``infer_step_tta``) — composes with ``ensemble`` (8N forwards in
+        one executable)."""
         self.model = model
         self.params = params
         self.enhance_output = enhance_output
         self.mesh = mesh
         self.ensemble = ensemble
+        self.tta = tta
         self._replicated_params = None
 
     @classmethod
@@ -134,6 +140,13 @@ class Upscaler:
         batched = arr[None] if arr.ndim == 3 else arr
         if self.mesh is not None:
             sr = self._upscale_sharded(batched)
+        elif self.tta:
+            from srgan_tpu.training.steps import infer_step_tta
+
+            sr = infer_step_tta(
+                self.model.apply, self.params, jnp.asarray(batched),
+                ensemble=self.ensemble,
+            )
         elif self.ensemble:
             from srgan_tpu.training.steps import infer_step_ensemble
 
@@ -164,6 +177,15 @@ class Upscaler:
         batched = arr[None] if arr.ndim == 3 else arr
         if self.mesh is not None:
             out = np.asarray(self._upscale_sharded(batched, u8=True))
+        elif self.tta:
+            from srgan_tpu.training.steps import infer_step_tta_u8
+
+            out = np.asarray(
+                infer_step_tta_u8(
+                    self.model.apply, self.params, jnp.asarray(batched),
+                    enhance_out=self.enhance_output, ensemble=self.ensemble,
+                )
+            )
         else:
             step = infer_step_ensemble_u8 if self.ensemble else infer_step_u8
             out = np.asarray(
@@ -198,7 +220,23 @@ class Upscaler:
                 [batched, np.repeat(batched[:1], pad, axis=0)]
             )
         x = shard_batch(self.mesh, jnp.asarray(batched))
-        if u8:
+        if self.tta:
+            from srgan_tpu.training.steps import (
+                infer_step_tta,
+                infer_step_tta_u8,
+            )
+
+            if u8:
+                sr = infer_step_tta_u8(
+                    self.model.apply, self._replicated_params, x,
+                    enhance_out=self.enhance_output, ensemble=self.ensemble,
+                )
+            else:
+                sr = infer_step_tta(
+                    self.model.apply, self._replicated_params, x,
+                    ensemble=self.ensemble,
+                )
+        elif u8:
             step = infer_step_ensemble_u8 if self.ensemble else infer_step_u8
             sr = step(
                 self.model.apply, self._replicated_params, x,
@@ -371,6 +409,7 @@ def upscale_directory(
     upscaler: Optional[Upscaler] = None,
     mesh=None,
     ensemble: bool = False,
+    tta: bool = False,
     min_bucket_for_direct: int = 4,
     tile: int = 256,
     tile_batch: int = 4,
@@ -413,7 +452,7 @@ def upscale_directory(
         upscaler = (
             Upscaler.from_checkpoint(
                 results_dir, prefix, enhance_output=enhance_output,
-                mesh=mesh, ensemble=ensemble,
+                mesh=mesh, ensemble=ensemble, tta=tta,
             )
             if latest_ckpt_dir(results_dir, prefix) is not None
             else Upscaler.random_init(enhance_output=enhance_output, mesh=mesh)

@@ -325,6 +325,71 @@ def infer_step_ensemble(apply_fn, stacked_params, lr_imgs: jax.Array):
     return jnp.mean(srs, axis=0)
 
 
+def _dihedral_mean(fwd, lr_imgs: jax.Array) -> jax.Array:
+    """Mean of ``fwd`` over the 8 dihedral transforms of the input, each
+    output mapped back through the inverse transform — geometric
+    self-ensembling (the EDSR-style x8 TTA). All 8 forwards trace into ONE
+    executable (the transposed pair just runs at (W, H)); every transform
+    commutes exactly with the model's conv/GN trunk, and the pixel-shuffle
+    head sees a different sub-pixel phase alignment per transform — which
+    is precisely the diversity the average exploits."""
+    outs = []
+    for t in range(2):
+        xt = jnp.transpose(lr_imgs, (0, 2, 1, 3)) if t else lr_imgs
+        for fh in range(2):
+            for fw in range(2):
+                xx = xt
+                if fh:
+                    xx = xx[:, ::-1]
+                if fw:
+                    xx = xx[:, :, ::-1]
+                y = fwd(xx)
+                if fw:
+                    y = y[:, :, ::-1]
+                if fh:
+                    y = y[:, ::-1]
+                if t:
+                    y = jnp.transpose(y, (0, 2, 1, 3))
+                outs.append(y)
+    return jnp.mean(jnp.stack(outs), axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "ensemble"))
+def infer_step_tta(apply_fn, params, lr_imgs: jax.Array,
+                   ensemble: bool = False) -> jax.Array:
+    """Geometric self-ensemble SR forward (x8 dihedral TTA), optionally on
+    top of the pool ensemble (``ensemble=True``: ``params`` is stacked and
+    each of the 8 forwards is the member mean — 8N model forwards fused
+    into one executable)."""
+    if ensemble:
+        def fwd(x):
+            return jnp.mean(
+                jax.vmap(lambda p: apply_fn({"params": p}, x))(params),
+                axis=0,
+            )
+    else:
+        def fwd(x):
+            return apply_fn({"params": params}, x)
+    return _dihedral_mean(fwd, lr_imgs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("apply_fn", "enhance_out", "ensemble")
+)
+def infer_step_tta_u8(apply_fn, params, lr_imgs: jax.Array,
+                      enhance_out: bool = False,
+                      ensemble: bool = False) -> jax.Array:
+    """u8-fetch twin of :func:`infer_step_tta` (same quantization formula
+    as :func:`infer_step_u8`)."""
+    from srgan_tpu.ops.filters import sharpen
+
+    sr = infer_step_tta(apply_fn, params, lr_imgs, ensemble=ensemble)
+    if enhance_out:
+        sr = sharpen(sr)
+    sr = jnp.clip(sr.astype(jnp.float32), 0.0, 1.0)
+    return jnp.floor(sr * 255.0 + 0.5).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("apply_fn", "enhance_out"))
 def infer_step_ensemble_u8(
     apply_fn, stacked_params, lr_imgs: jax.Array, enhance_out: bool = False

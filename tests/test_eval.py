@@ -669,3 +669,94 @@ class TestEnsembleInference:
             extra_downscale=False, apply_enhance=False, verbose=False,
         )
         assert psnr_e != pytest.approx(psnr_l, abs=1e-6)
+
+
+class TestTTAInference:
+    """Geometric self-ensemble (x8 dihedral TTA, EDSR-style)."""
+
+    def test_matches_manual_dihedral_average(self, rng):
+        """infer_step_tta == the numpy-side average of the plain forward
+        over all 8 transforms with inverse mapping (non-square input)."""
+        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        plain = Upscaler.random_init(cfg, seed=5)
+        tta = Upscaler(plain.model, plain.params, tta=True)
+        img = rng.random((10, 14, 3)).astype(np.float32)
+
+        outs = []
+        for t in range(2):
+            xt = img.transpose(1, 0, 2) if t else img
+            for fh in range(2):
+                for fw in range(2):
+                    xx = xt
+                    if fh:
+                        xx = xx[::-1]
+                    if fw:
+                        xx = xx[:, ::-1]
+                    # raw forward (unclipped) via infer_step
+                    import jax.numpy as jnp
+
+                    from srgan_tpu.training.steps import infer_step
+
+                    y = np.asarray(
+                        infer_step(
+                            plain.model.apply, plain.params,
+                            jnp.asarray(xx)[None],
+                        )
+                    )[0]
+                    if fw:
+                        y = y[:, ::-1]
+                    if fh:
+                        y = y[::-1]
+                    if t:
+                        y = y.transpose(1, 0, 2)
+                    outs.append(y)
+        want = np.clip(np.mean(outs, axis=0), 0.0, 1.0)
+        np.testing.assert_allclose(tta.upscale(img), want, atol=1e-5)
+
+    def test_tta_composes_with_ensemble(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from srgan_tpu.models.srresnet import init_generator
+
+        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        model, p0 = init_generator(cfg, jax.random.key(0))
+        _, p1 = init_generator(cfg, jax.random.key(1))
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), p0, p1)
+        both = Upscaler(model, stacked, ensemble=True, tta=True)
+        img = rng.random((8, 8, 3)).astype(np.float32)
+        out = both.upscale(img)
+        assert out.shape == (16, 16, 3)
+        # differs from ensemble-only and tta-only (genuinely composed)
+        ens_only = Upscaler(model, stacked, ensemble=True).upscale(img)
+        tta_only = Upscaler(model, p0, tta=True).upscale(img)
+        assert np.abs(out - ens_only).max() > 1e-6
+        assert np.abs(out - tta_only).max() > 1e-6
+
+    def test_u8_path_matches_float_path(self, rng):
+        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        plain = Upscaler.random_init(cfg, seed=6)
+        tta = Upscaler(plain.model, plain.params, tta=True)
+        img = rng.random((9, 7, 3)).astype(np.float32)
+        want = np.floor(np.clip(tta.upscale(img), 0, 1) * 255 + 0.5).astype(
+            np.uint8
+        )
+        np.testing.assert_array_equal(tta.upscale_u8(img), want)
+
+    def test_eval_forward_fn_tta(self, tmp_path, rng):
+        """evaluate_model(upscaler with tta) runs and differs from plain."""
+        cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+        plain = Upscaler.random_init(cfg, seed=7)
+        tta = Upscaler(plain.model, plain.params, tta=True)
+        root = str(tmp_path)
+        _make_pair_dirs(root)
+        p_t, s_t = evaluate_model(
+            root, "LRbicx4", "original", upscaler=tta,
+            extra_downscale=False, apply_enhance=False, verbose=False,
+        )
+        p_p, _ = evaluate_model(
+            root, "LRbicx4", "original", upscaler=plain,
+            extra_downscale=False, apply_enhance=False, verbose=False,
+        )
+        assert np.isfinite(p_t) and np.isfinite(s_t)
+        assert p_t != pytest.approx(p_p, abs=1e-6)
