@@ -44,7 +44,11 @@ def main():
     from srgan_tpu.eval.inference import Upscaler
     from srgan_tpu.ops.metrics import batched_psnr_ssim
     from srgan_tpu.ops.resize import resize_bilinear
-    from srgan_tpu.training.steps import infer_step, infer_step_ensemble
+    from srgan_tpu.training.steps import (
+        infer_step,
+        infer_step_ensemble,
+        infer_step_tta,
+    )
 
     ds = ImageFolderDataset(args.val_dir, (512, 1024))
     lead = Upscaler.from_checkpoint(args.results_dir, args.prefix)
@@ -64,7 +68,8 @@ def main():
         p, s = batched_psnr_ssim(jnp.clip(sr, 0.0, 1.0), hr)
         return jnp.mean(p), jnp.mean(s)
 
-    sums = {"lead": [0.0, 0.0], "ens": [0.0, 0.0]}
+    sums = {"lead": [0.0, 0.0], "ens": [0.0, 0.0],
+            "lead+tta": [0.0, 0.0], "ens+tta": [0.0, 0.0]}
     n_batches = 0
     batch_paths = [
         [ds.path(j) for j in range(i, min(i + args.batch, len(ds)))]
@@ -76,16 +81,18 @@ def main():
         imgs = [load_hr_clip_u8(p, (512, 1024)) for p in paths]
         hr_u8 = jnp.asarray(np.stack([im for im in imgs if im is not None]))
         hr, lr = prep(hr_u8)
-        for name, up, step in (
-            ("lead", lead, infer_step),
-            ("ens", ens, infer_step_ensemble),
+        for name, up, step, kw in (
+            ("lead", lead, infer_step, {}),
+            ("ens", ens, infer_step_ensemble, {}),
+            ("lead+tta", lead, infer_step_tta, {}),
+            ("ens+tta", ens, infer_step_tta, {"ensemble": True}),
         ):
-            sr = step(up.model.apply, up.params, lr)
+            sr = step(up.model.apply, up.params, lr, **kw)
             p, s = score(sr, hr)
             sums[name][0] += float(p)
             sums[name][1] += float(s)
         n_batches += 1
-    for name in ("lead", "ens"):
+    for name in ("lead", "ens", "lead+tta", "ens+tta"):
         p, s = (v / max(1, n_batches) for v in sums[name])
         print(f"{name}: psnr={p:.3f} ssim={s:.4f} ({n_batches} batches)")
 
