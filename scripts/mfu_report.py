@@ -12,8 +12,10 @@ ceiling, so this script reports, per hot path:
   - achieved TFLOPS and, when the chip's bf16 peak is known, MFU.
 
 Paths covered: the fused pixel train step (bench.py's headline), the fused
-G+D GAN step, and the serving forward (``infer_step_u8``). Shapes default
-to the flagship config (4x SR, 512x1024 HR, ``src/train.py:94-95``).
+G+D GAN step, the serving forward (``infer_step_u8``), and the scan pool-N
+GAN step (``--pool``, default 3 — the executable behind the flagship
+pool-GAN epoch rate). Shapes default to the flagship config (4x SR,
+512x1024 HR, ``src/train.py:94-95``).
 
 Usage:
     python scripts/mfu_report.py [--batch 24] [--features 64] [--steps 10]
@@ -34,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from srgan_tpu.utils.platform import (  # noqa: E402
     enable_compilation_cache,
     honor_jax_platforms_env,
+    peak_bf16_tflops as _peak_tflops,
 )
 
 honor_jax_platforms_env()
@@ -41,26 +44,6 @@ enable_compilation_cache()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
-
-# bf16 peak by device kind (dense, per chip). Override with PEAK_TFLOPS.
-_PEAK_BF16_TFLOPS = {
-    "TPU v5 lite": 197.0,  # v5e
-    "TPU v5e": 197.0,
-    "TPU v4": 275.0,
-    "TPU v5p": 459.0,
-    "TPU v6e": 918.0,
-}
-
-
-def _peak_tflops(device) -> float | None:
-    env = os.environ.get("PEAK_TFLOPS")
-    if env:
-        return float(env)
-    kind = getattr(device, "device_kind", "")
-    for prefix, peak in _PEAK_BF16_TFLOPS.items():
-        if kind.startswith(prefix):
-            return peak
-    return None
 
 
 def _flops_of(jitted, *args, **kwargs) -> float | None:
@@ -97,6 +80,8 @@ def main(argv=None):
     ap.add_argument("--features", type=int, default=64)
     ap.add_argument("--steps", type=int, default=10 if on_tpu else 2)
     ap.add_argument("--hr", type=int, nargs=2, default=None, metavar=("H", "W"))
+    ap.add_argument("--pool", type=int, default=3,
+                    help="pool size for the scan pool GAN step entry")
     args = ap.parse_args(argv)
 
     from srgan_tpu.config import DiscriminatorConfig, ModelConfig
@@ -186,10 +171,44 @@ def main(argv=None):
 
     paths["serving_forward_u8"] = _report(run_serve, flops, args.steps)
 
+    # --- scan pool-3 GAN step (the slowest headline path: the flagship
+    # pool-GAN epoch rate PARITY quotes rides this executable) ---
+    from srgan_tpu.training.stacked_pool import (
+        scanned_pool_gan_step,
+        stack_states,
+    )
+
+    pool_n = args.pool
+    pstates = [
+        TrainState.create(apply_fn=model.apply, params=fresh(params))
+        for _ in range(pool_n)
+    ]
+    pbox = {
+        "g": stack_states(pstates),
+        "d": TrainState.create(apply_fn=d_model.apply, params=fresh(d_params)),
+    }
+    gan_mask = jnp.ones((pool_n,), jnp.float32)
+    flops = _flops_of(
+        scanned_pool_gan_step, pbox["g"], pbox["d"], model.apply,
+        d_model.apply, hr, lr_imgs, gan_mask, g_lr, d_lr,
+    )
+
+    def run_pool_gan():
+        pbox["g"], pbox["d"], m = scanned_pool_gan_step(
+            pbox["g"], pbox["d"], model.apply, d_model.apply,
+            hr, lr_imgs, gan_mask, g_lr, d_lr,
+        )
+        float(m["d_loss"])
+
+    paths[f"train_pool{pool_n}_gan_step_scan"] = _report(
+        run_pool_gan, flops, args.steps
+    )
+
     for rec, batch in (
         (paths["train_pixel_step"], args.batch),
         (paths["train_gan_step"], args.batch),
         (paths["serving_forward_u8"], args.serve_batch),
+        (paths[f"train_pool{pool_n}_gan_step_scan"], args.batch),
     ):
         rec["images_per_sec"] = round(batch / (rec["ms_per_step"] / 1e3), 1)
         if peak and "achieved_tflops" in rec:

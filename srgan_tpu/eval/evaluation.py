@@ -71,7 +71,20 @@ def evaluate_model(
         from srgan_tpu.training.checkpoint import latest_ckpt_dir
 
         if torch_checkpoint is not None:
-            upscaler = Upscaler.from_torch_checkpoint(torch_checkpoint)
+            # TTA is weight-agnostic, so it applies to ported torch weights
+            # too; --ensemble needs a multi-member pool checkpoint, which a
+            # single reference .pth can never carry — reject it rather than
+            # silently scoring the plain forward (ADVICE r3).
+            if ensemble:
+                raise ValueError(
+                    "--ensemble requires a pool checkpoint (multiple "
+                    "generators); a reference .pth holds one generator — "
+                    "drop --ensemble or evaluate an srgan_tpu pool run via "
+                    "--results-dir/--prefix"
+                )
+            upscaler = Upscaler.from_torch_checkpoint(
+                torch_checkpoint, tta=tta
+            )
         elif latest_ckpt_dir(results_dir, prefix) is not None:
             upscaler = Upscaler.from_checkpoint(
                 results_dir, prefix, ensemble=ensemble, tta=tta

@@ -31,6 +31,33 @@ def honor_jax_platforms_env() -> None:
         pass
 
 
+# bf16 dense peak TFLOPS per chip, by device kind. The single source of
+# truth for MFU reporting (bench.py and scripts/mfu_report.py both read it —
+# ADVICE r3: a hardcoded v5e constant misreports MFU on other TPU
+# generations). Override with the PEAK_TFLOPS env var.
+_PEAK_BF16_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5e": 197.0,
+    "TPU v4": 275.0,
+    "TPU v5p": 459.0,
+    "TPU v6e": 918.0,
+}
+
+
+def peak_bf16_tflops(device) -> float | None:
+    """Known bf16 dense peak for ``device`` (a jax Device), or None when the
+    device kind is unrecognized — callers must then omit MFU rather than
+    report a number against the wrong ceiling."""
+    env = os.environ.get("PEAK_TFLOPS")
+    if env:
+        return float(env)
+    kind = getattr(device, "device_kind", "")
+    for prefix, peak in _PEAK_BF16_TFLOPS.items():
+        if kind.startswith(prefix):
+            return peak
+    return None
+
+
 def enable_compilation_cache() -> None:
     """Persistent XLA compilation cache: recompiles of the same executables
     (re-running a bench, resuming training, repeat evals) become loads
