@@ -17,8 +17,10 @@ Scale knobs (env): QP_HR, QP_FACTOR, QP_EPOCHS, QP_BATCH, QP_FEATURES,
 QP_BLOCKS, QP_LR. Defaults reproduce the r1 small-scale point; the r3
 mid-scale point (VERDICT r2 #8) is
   QP_HR=256 QP_FEATURES=64 QP_BLOCKS=8 QP_EPOCHS=30.
-The jax side also takes QP_PERCEPTUAL (perceptual-loss weight; random
-features in this image — see models/vgg.py) for the quality table row.
+The jax side also takes QP_PERCEPTUAL (perceptual-loss weight), QP_ENCODER
+(a trained contrastive-encoder .npz from scripts/train_encoder.py as the
+feature source — without it the VGG path falls back to random features,
+see models/vgg.py) and QP_SEED.
 """
 
 import argparse
@@ -87,16 +89,26 @@ def run_torch(train_hr, val_hr):
             self.head = nn.Conv2d(3, f, 9, padding=4)
             self.blocks = nn.Sequential(*[Block(f) for _ in range(BLOCKS)])
             self.mid = nn.Conv2d(f, f, 3, padding=1)
-            self.up = nn.Sequential(
-                nn.Conv2d(f, 4 * f, 3, padding=1), nn.PixelShuffle(2), nn.ReLU()
-            )
+            # FACTOR//2 [conv -> PixelShuffle(2) -> ReLU] stages, exactly
+            # the reference's upsample tower (``src/models.py:70-76``) —
+            # one stage at 2x, two at the flagship 4x (VERDICT r3 weak #5:
+            # the 4x claim needs a direct torch A/B, not extrapolation).
+            self.up = nn.Sequential(*[
+                layer
+                for _ in range(FACTOR // 2)
+                for layer in (
+                    nn.Conv2d(f, 4 * f, 3, padding=1),
+                    nn.PixelShuffle(2),
+                    nn.ReLU(),
+                )
+            ])
             self.tail = nn.Conv2d(f, 3, 9, padding=4)
 
         def forward(self, x):
             h = F.leaky_relu(self.head(x), 0.2)
             return self.tail(self.up(self.mid(self.blocks(h)) + h))
 
-    assert FACTOR == 2, "the torch oracle hardcodes one PixelShuffle stage"
+    assert FACTOR in (2, 4, 8), "power-of-two upscale factors only"
     model = Gen()
     opt = torch.optim.Adam(model.parameters(), lr=LR_G)
     sched = torch.optim.lr_scheduler.LinearLR(
@@ -154,8 +166,12 @@ def run_jax(train_dir, val_dir):
         ),
         train=TrainConfig(
             num_epochs=EPOCHS, lr_generator=LR_G, validate_every=100,
-            results_dir="/tmp/qp_results", seed=0,
+            results_dir="/tmp/qp_results", seed=int(_env("QP_SEED", "0")),
             perceptual_weight=p_weight,
+            # QP_ENCODER: trained contrastive-encoder .npz
+            # (scripts/train_encoder.py) as the perceptual feature source —
+            # the zero-egress-compatible TRAINED prior (vs random VGG)
+            perceptual_encoder_npz=_env("QP_ENCODER") or None,
         ),
     )
     trainer = Trainer(cfg, use_mesh=False)
@@ -167,6 +183,7 @@ def run_jax(train_dir, val_dir):
         "train_images_per_sec": last["images_per_sec"],
         "epochs": EPOCHS,
         "perceptual_weight": p_weight,
+        "perceptual_encoder": _env("QP_ENCODER") or None,
     }))
 
 

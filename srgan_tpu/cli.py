@@ -41,11 +41,25 @@ def _add_train(sub):
                         "Without it --perceptual falls back to RANDOM "
                         "features and warns")
     p.add_argument("--perceptual", type=float, default=0.0, metavar="WEIGHT",
-                   help="VGG19 perceptual-loss weight, 0 = off (the "
-                        "reference's disabled utils.py:154-166 path; "
-                        "pretrained torchvision weights are ported from a "
-                        "local cache when present)")
-    p.add_argument("--starting-gan-loss", type=float, default=0.05)
+                   help="perceptual-loss weight, 0 = off (the reference's "
+                        "disabled utils.py:154-166 path). Feature source: "
+                        "--perceptual-encoder if given, else VGG19")
+    p.add_argument("--perceptual-encoder", default=None, metavar="NPZ",
+                   help="TRAINED contrastive-encoder feature prior "
+                        "(scripts/train_encoder.py output) — the "
+                        "reference's planned image-encoder objective "
+                        "(utils.py:118-137), trainable fully in-image; "
+                        "replaces VGG as the perceptual feature source")
+    p.add_argument("--starting-gan-loss", type=float, default=None,
+                   help="two-regime gate threshold (readme.md:10). Default "
+                        "auto: calibrated at the first epoch end to "
+                        "gate-auto-frac x the median running loss, so the "
+                        "below-regime actually engages at default configs "
+                        "(r3 measured losses bottoming just above the old "
+                        "hand default of 0.05)")
+    p.add_argument("--gate-auto-frac", type=float, default=0.6,
+                   help="auto-calibration fraction for the gate threshold "
+                        "(only read while --starting-gan-loss is unset)")
     p.add_argument("--pool-exec", choices=("scan", "vmap"), default="scan",
                    help="stacked-pool executor: 'scan' (default) runs "
                         "members sequentially inside one executable (1x "
@@ -257,6 +271,7 @@ def main(argv=None):
             pool=PoolConfig(
                 num_generators=args.num_generators,
                 starting_gan_loss=args.starting_gan_loss,
+                gate_auto_frac=args.gate_auto_frac,
                 pre_loss_gate=args.pre_loss_gate,
                 member_exec=args.pool_exec,
                 mutual_learning=not args.no_mutual,
@@ -270,6 +285,7 @@ def main(argv=None):
                 use_gan=args.gan,
                 perceptual_weight=args.perceptual,
                 vgg_weights_npz=args.vgg_weights,
+                perceptual_encoder_npz=args.perceptual_encoder,
                 validate_every=args.validate_every,
                 results_dir=args.results_dir,
                 run_prefix=args.prefix,

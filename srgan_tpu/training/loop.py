@@ -123,23 +123,35 @@ class Trainer:
                 b2=cfg.train.adam_b2,
             )
 
-        # Frozen VGG19 perceptual extractor, opt-in (reference builds it at
-        # ``train.py:49`` but ships the loss disabled; enabled here via
-        # TrainConfig.perceptual_weight / --perceptual).
+        # Frozen perceptual feature extractor, opt-in (the reference builds
+        # its VGG at ``train.py:49`` but ships the loss disabled; enabled
+        # here via TrainConfig.perceptual_weight / --perceptual). Feature
+        # source: the TRAINED contrastive encoder when
+        # ``perceptual_encoder_npz`` is set (the reference's planned
+        # image-encoder objective, ``src/utils.py:118-137`` — the only
+        # pretrained prior possible in a zero-egress image), else VGG19
+        # (pretrained .npz / torchvision cache / loud random fallback).
         self.vgg_apply = None
         self.vgg_params = None
         if cfg.train.perceptual_weight > 0.0:
-            from srgan_tpu.models.vgg import init_vgg_extractor
+            if cfg.train.perceptual_encoder_npz:
+                from srgan_tpu.models.encoder import init_encoder_extractor
 
-            vgg_model, vgg_params = init_vgg_extractor(
-                keys[-2],
-                layers=tuple(cfg.train.vgg_layers),
-                weights_npz=cfg.train.vgg_weights_npz,
-            )
+                px_model, px_params = init_encoder_extractor(
+                    cfg.train.perceptual_encoder_npz
+                )
+            else:
+                from srgan_tpu.models.vgg import init_vgg_extractor
+
+                px_model, px_params = init_vgg_extractor(
+                    keys[-2],
+                    layers=tuple(cfg.train.vgg_layers),
+                    weights_npz=cfg.train.vgg_weights_npz,
+                )
             if self.mesh:
-                vgg_params = replicate(self.mesh, vgg_params)
-            self.vgg_apply = vgg_model.apply
-            self.vgg_params = vgg_params
+                px_params = replicate(self.mesh, px_params)
+            self.vgg_apply = px_model.apply
+            self.vgg_params = px_params
 
         self.spool = None
         if self.use_stacked:
@@ -203,6 +215,7 @@ class Trainer:
             m.pre_loss = meta["pre_loss"]
             m.gan_updates = meta["gan_updates"]
             m.pixel_updates = meta["pixel_updates"]
+        self.pool.gan_threshold = self.spool.gan_threshold
 
     def _rebuild_stacked_from_pool(self, start_epoch: int = 0):
         """Rebuild the stacked representation after a checkpoint restore.
@@ -231,6 +244,7 @@ class Trainer:
         self.spool.pixel_updates = np.asarray(
             [m.pixel_updates for m in self.pool.members], np.int64
         )
+        self.spool.gan_threshold = self.pool.gan_threshold
 
     def _should_stop(self, batch_idx: int) -> bool:
         """Batch-boundary preemption check.
@@ -805,18 +819,20 @@ class Trainer:
                         block=False,
                     )
 
+                active_pool = self.spool if self.spool is not None else self.pool
                 record = {
                     "epoch": epoch + 1,
                     "psnr": psnr,
                     "ssim": ssim,
                     "wall_s": time.perf_counter() - t0,
-                    "pool": (
-                        self.spool.snapshot()
-                        if self.spool is not None
-                        else self.pool.snapshot()
-                    ),
+                    "pool": active_pool.snapshot(),
                     **train_metrics,
                 }
+                if active_pool.gan_threshold is not None:
+                    # the two-regime gate's (possibly auto-calibrated)
+                    # threshold — makes regime engagement auditable from
+                    # the JSONL alone
+                    record["gan_threshold"] = active_pool.gan_threshold
                 if cfg.train.reduce_metrics:
                     from srgan_tpu.parallel.mesh import reduce_metrics
 

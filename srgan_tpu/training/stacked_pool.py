@@ -457,6 +457,9 @@ class StackedGeneratorPool:
         self.pre_loss = np.full(n, np.inf)
         self.gan_updates = np.zeros(n, np.int64)
         self.pixel_updates = np.zeros(n, np.int64)
+        # Gate threshold: explicit config value, or None = auto-calibrated
+        # at the first epoch end (same rule as GeneratorPool.end_epoch).
+        self.gan_threshold: float | None = cfg.starting_gan_loss
 
     @classmethod
     def create(cls, states, cfg: PoolConfig, seed=0):
@@ -473,10 +476,15 @@ class StackedGeneratorPool:
         if not finite.any():
             return p
         min_loss = self.running_loss[finite].min()
+        thr = (
+            self.gan_threshold
+            if self.gan_threshold is not None
+            else float("-inf")  # auto, pre-calibration: above-regime
+        )
         for i in range(self.n):
             if not finite[i]:
                 continue
-            if self.running_loss[i] > self.cfg.starting_gan_loss:
+            if self.running_loss[i] > thr:
                 p[i] = self.cfg.p_gan_above
             elif i == 0:
                 p[i] = self.cfg.p_gan_leader
@@ -524,6 +532,12 @@ class StackedGeneratorPool:
             self.running_loss = self.running_loss[order]
             self.gan_updates = self.gan_updates[order]
             self.pixel_updates = self.pixel_updates[order]
+        if self.cfg.starting_gan_loss is None and self.gan_threshold is None:
+            finite = self.running_loss[np.isfinite(self.running_loss)]
+            if finite.size:
+                self.gan_threshold = float(
+                    self.cfg.gate_auto_frac * np.median(finite)
+                )
         self.pre_loss = self.running_loss.copy()
         if self.cfg.mutual_learning and self.n > 1:
             self.state = self.state.replace(

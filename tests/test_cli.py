@@ -79,6 +79,15 @@ class TestTrainConfigAssembly:
         assert cfg.pool.starting_gan_loss == pytest.approx(0.1)
         assert cfg.pool.pre_loss_gate
 
+    def test_gate_defaults_to_auto_calibration(self, capture_cfg):
+        """Unset --starting-gan-loss = None = auto-calibrated threshold
+        (VERDICT r3 weak #2: the old hand default never engaged)."""
+        cfg = capture_cfg()
+        assert cfg.pool.starting_gan_loss is None
+        assert cfg.pool.gate_auto_frac == pytest.approx(0.6)
+        cfg = capture_cfg("--gate-auto-frac", "0.5")
+        assert cfg.pool.gate_auto_frac == pytest.approx(0.5)
+
     def test_bf16_sets_both_compute_dtypes(self, capture_cfg):
         cfg = capture_cfg("--bf16")
         assert cfg.model.compute_dtype == "bfloat16"
