@@ -177,10 +177,19 @@ def main():
           f"gan={args.gan} pool={args.pool} F={args.features}")
 
     rates = []
+    active_pool = trainer.spool if trainer.spool is not None else trainer.pool
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         m = trainer.train_epoch(pipeline, epoch)
         dt = time.perf_counter() - t0
+        # Epoch-end pool bookkeeping (re-sort + mutual learning + pre_loss
+        # snapshot + auto gate calibration) — Trainer.train runs this after
+        # every epoch; this harness bypassed it before r4, so the r3
+        # mutual-learning ablation rows compared two arms in NEITHER of
+        # which the mechanism executed (see PARITY correction). Kept
+        # outside the timed window like compute_score, so rates stay
+        # comparable with the r3 tables.
+        active_pool.end_epoch()
         ips = m["n_batches"] * args.batch / dt
         rates.append(ips)
         tag = " (incl. cache build)" if epoch == 0 else ""
@@ -188,8 +197,14 @@ def main():
         if val_pipeline is not None:
             psnr, ssim = trainer.compute_score(val_pipeline, epoch)
             score = f"  psnr={psnr:.3f} ssim={ssim:.4f}"
+        gate = ""
+        if args.gan and active_pool.gan_threshold is not None:
+            snap = active_pool.snapshot()
+            gate = (f"  gate={active_pool.gan_threshold:.4f} "
+                    f"gan_updates={[s['gan_updates'] for s in snap]} "
+                    f"loss={[round(s['running_loss'], 4) for s in snap]}")
         print(f"epoch {epoch}: {ips:.1f} img/s  wall {dt:.2f}s  "
-              f"g_loss={m['g_loss']:.4f}{score}{tag}")
+              f"g_loss={m['g_loss']:.4f}{score}{gate}{tag}")
     steady = rates[1:] or rates
     print(f"steady-state epoch rate: {np.mean(steady):.1f} img/s "
           f"(epochs 1..{args.epochs - 1})")
