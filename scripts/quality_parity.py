@@ -33,6 +33,8 @@ import time
 import numpy as np
 from PIL import Image
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 _env = os.environ.get
 HR = int(_env("QP_HR", "128"))   # HR crop size (torch runs on 1 CPU core)
 FACTOR = int(_env("QP_FACTOR", "2"))
@@ -46,7 +48,11 @@ LR_G = float(_env("QP_LR", "1e-4"))
 def load_split(data_dir, val_dir):
     def load(folder):
         imgs = []
-        for p in sorted(glob.glob(os.path.join(folder, "*.png"))):
+        paths = sorted(
+            glob.glob(os.path.join(folder, "*.png"))
+            + glob.glob(os.path.join(folder, "*.jpg"))
+        )
+        for p in paths:
             img = Image.open(p).convert("RGB").resize((HR, HR), Image.BICUBIC)
             imgs.append(np.asarray(img, np.float32) / 255.0)
         return np.stack(imgs)
@@ -152,6 +158,14 @@ def run_torch(train_hr, val_hr):
 
 
 def run_jax(train_dir, val_dir):
+    from srgan_tpu.utils.platform import (
+        enable_compilation_cache,
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()
+    enable_compilation_cache()
+
     from srgan_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
     from srgan_tpu.training.loop import Trainer
 
