@@ -16,6 +16,7 @@ class TestMfuReport:
         paths = rec["paths"]
         assert set(paths) == {
             "train_pixel_step", "train_gan_step", "serving_forward_u8",
+            "train_pool3_gan_step_scan",
         }
         for name, p in paths.items():
             assert p["ms_per_step"] > 0, name
@@ -30,4 +31,9 @@ class TestMfuReport:
         assert (
             paths["train_gan_step"]["gflops_per_step"]
             > paths["train_pixel_step"]["gflops_per_step"]
+        )
+        # N members' G updates dwarf the single-member GAN step
+        assert (
+            paths["train_pool3_gan_step_scan"]["gflops_per_step"]
+            > paths["train_gan_step"]["gflops_per_step"]
         )
