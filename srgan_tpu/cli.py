@@ -216,6 +216,47 @@ def _add_upscale_dir(sub):
                         "(data-parallel serving mesh)")
 
 
+def add_train_encoder_args(p):
+    """Shared flag set for the two encoder-training surfaces (this CLI and
+    ``scripts/train_encoder.py``)."""
+    p.add_argument("--data", required=True, help="image folder to train on")
+    p.add_argument("--out", required=True, help="output .npz archive")
+    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--crop", type=int, default=96)
+    p.add_argument("--load-size", type=int, default=160,
+                   help="images are pre-resized to this square size; "
+                        "crops are cut from it on device")
+    p.add_argument("--features", type=int, nargs="+", default=[32, 64, 128])
+    p.add_argument("--embed-dim", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--unif-weight", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def run_train_encoder(args) -> dict:
+    from srgan_tpu.training.encoder_train import train_contrastive_encoder
+
+    return train_contrastive_encoder(
+        args.data, args.out,
+        steps=args.steps, batch=args.batch, crop=args.crop,
+        load_size=args.load_size, features=args.features,
+        embed_dim=args.embed_dim, lr=args.lr,
+        unif_weight=args.unif_weight, seed=args.seed,
+    )
+
+
+def _add_train_encoder(sub):
+    p = sub.add_parser(
+        "train-encoder",
+        help="train the contrastive image-encoder perceptual prior "
+             "(alignment + the reference's uniformity loss, "
+             "utils.py:118-137) — feed the .npz to train "
+             "--perceptual-encoder",
+    )
+    add_train_encoder_args(p)
+
+
 def main(argv=None):
     from srgan_tpu.utils.platform import (
         enable_compilation_cache,
@@ -227,6 +268,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser("srgan_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     _add_train(sub)
+    _add_train_encoder(sub)
     _add_eval(sub)
     _add_upscale(sub)
     _add_upscale_dir(sub)
@@ -328,6 +370,10 @@ def main(argv=None):
                     file=sys.stderr,
                 )
             raise
+    elif args.cmd == "train-encoder":
+        import json
+
+        print(json.dumps(run_train_encoder(args)))
     elif args.cmd == "eval":
         from srgan_tpu.eval.evaluation import evaluate_model
 

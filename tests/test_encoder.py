@@ -244,3 +244,28 @@ class TestTrainEncoderScript:
         assert rec["lossN"] < rec["loss0"]
         model2, params2 = load_encoder_npz(out)
         assert model2.embed_dim == 8
+
+    def test_cli_subcommand(self, tmp_path, capsys):
+        """`python -m srgan_tpu.cli train-encoder` is the same surface."""
+        import json as _json
+
+        from PIL import Image
+
+        from srgan_tpu.cli import main as cli_main
+
+        folder = tmp_path / "imgs"
+        folder.mkdir()
+        rng = np.random.default_rng(1)
+        for i in range(5):
+            arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(folder / f"im{i}.png")
+        out = str(tmp_path / "enc_cli.npz")
+        cli_main([
+            "train-encoder", "--data", str(folder), "--out", out,
+            "--steps", "4", "--batch", "4", "--crop", "32",
+            "--load-size", "48", "--features", "8", "--embed-dim", "8",
+        ])
+        rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["steps"] == 4 and rec["images"] == 5
+        model2, _ = load_encoder_npz(out)
+        assert model2.embed_dim == 8
