@@ -116,6 +116,11 @@ def _add_train(sub):
                         "(train.py:70-71); cosine = its commented-out "
                         "CosineAnnealingLR variant (train.py:68-69)")
     p.add_argument("--lr-discriminator", type=float, default=5e-5)
+    p.add_argument("--ema-decay", type=float, default=0.0, metavar="D",
+                   help="Polyak/EMA-average the generator weights with this "
+                        "per-step decay (0 = off, reference behavior). "
+                        "Validation/keep-best and `eval --ema` then use the "
+                        "averaged weights; horizon ~1/(1-D) steps")
     p.add_argument("--results-dir", default="results")
     p.add_argument("--prefix", default="Training")
     p.add_argument("--seed", type=int, default=0)
@@ -162,6 +167,9 @@ def _add_eval(sub):
     p.add_argument("--tta", action="store_true",
                    help="geometric self-ensemble (x8 dihedral test-time "
                         "augmentation); composes with --ensemble")
+    p.add_argument("--ema", action="store_true",
+                   help="serve the Polyak-averaged (EMA) weights saved by "
+                        "an --ema-decay training run")
 
 
 def _add_upscale(sub):
@@ -178,6 +186,9 @@ def _add_upscale(sub):
     p.add_argument("--tta", action="store_true",
                    help="geometric self-ensemble (x8 dihedral test-time "
                         "augmentation); composes with --ensemble")
+    p.add_argument("--ema", action="store_true",
+                   help="serve the Polyak-averaged (EMA) weights saved by "
+                        "an --ema-decay training run")
     p.add_argument("--tile", type=int, default=0,
                    help="tile size (LR px) for tiled inference: one compiled "
                         "executable for ANY image size, HBM bounded by "
@@ -208,6 +219,9 @@ def _add_upscale_dir(sub):
     p.add_argument("--tta", action="store_true",
                    help="geometric self-ensemble (x8 dihedral test-time "
                         "augmentation); composes with --ensemble")
+    p.add_argument("--ema", action="store_true",
+                   help="serve the Polyak-averaged (EMA) weights saved by "
+                        "an --ema-decay training run")
     p.add_argument("--batch-size", type=int, default=8,
                    help="images per device batch (same-size images batch "
                         "together; sizes are bucketed automatically)")
@@ -325,6 +339,7 @@ def main(argv=None):
                 lr_schedule=args.lr_schedule,
                 lr_discriminator=args.lr_discriminator,
                 use_gan=args.gan,
+                ema_decay=args.ema_decay,
                 perceptual_weight=args.perceptual,
                 vgg_weights_npz=args.vgg_weights,
                 perceptual_encoder_npz=args.perceptual_encoder,
@@ -389,6 +404,7 @@ def main(argv=None):
             bucketed=args.bucketed,
             ensemble=args.ensemble,
             tta=args.tta,
+            ema=args.ema,
         )
     elif args.cmd == "upscale":
         import os
@@ -407,6 +423,7 @@ def main(argv=None):
             up = Upscaler.from_checkpoint(
                 args.results_dir, args.prefix, enhance_output=args.enhance,
                 mesh=mesh, ensemble=args.ensemble, tta=args.tta,
+                ema=args.ema,
             )
         else:
             print("warning: no checkpoint found, using random weights",
@@ -443,6 +460,7 @@ def main(argv=None):
             mesh=mesh,
             ensemble=args.ensemble,
             tta=args.tta,
+            ema=args.ema,
         )
         print(f"upscaled {n} images into {args.output_dir}")
 

@@ -237,6 +237,15 @@ class TrainConfig:
     # perceptual feature source; unlike VGG it is trainable entirely
     # in-image (no pretrained download needed).
     perceptual_encoder_npz: Optional[str] = None
+    # Polyak/EMA averaging of the generator weights (0 = off, the
+    # reference's behavior — it serves the raw last-step weights). When
+    # > 0 every generator update also advances an EMA shadow
+    # (``ema ← d·ema + (1−d)·params``, fused into the train-step
+    # executable); validation, keep-best and checkpointed serving read the
+    # shadow. A TPU-cheap extension that smooths the noisy GAN endpoint
+    # (measured: PARITY.md quality section). Pick the decay for the run
+    # length: the averaging horizon is ~1/(1−d) steps (0.99 ≈ 100 steps).
+    ema_decay: float = 0.0
     # Visual-comparison grids every N epochs (``train.py:233-260``);
     # 0 (or negative) disables them, matching checkpoint_every's 0=off.
     validate_every: int = 5

@@ -53,6 +53,7 @@ def evaluate_model(
     bucketed: bool = False,
     ensemble: bool = False,
     tta: bool = False,
+    ema: bool = False,
     verbose: bool = True,
 ) -> tuple:
     """Returns (avg_psnr, avg_ssim) over the paired eval set
@@ -82,12 +83,17 @@ def evaluate_model(
                     "drop --ensemble or evaluate an srgan_tpu pool run via "
                     "--results-dir/--prefix"
                 )
+            if ema:
+                raise ValueError(
+                    "--ema requires an srgan_tpu checkpoint trained with "
+                    "--ema-decay; a reference .pth carries no EMA shadow"
+                )
             upscaler = Upscaler.from_torch_checkpoint(
                 torch_checkpoint, tta=tta
             )
         elif latest_ckpt_dir(results_dir, prefix) is not None:
             upscaler = Upscaler.from_checkpoint(
-                results_dir, prefix, ensemble=ensemble, tta=tta
+                results_dir, prefix, ensemble=ensemble, tta=tta, ema=ema
             )
         else:
             # Never score an untrained network silently: ~8 dB averages

@@ -91,6 +91,7 @@ class Upscaler:
         prefix: str = "Training",
         model_cfg: Optional[ModelConfig] = None,
         ensemble: bool = False,
+        ema: bool = False,
         **kw,
     ):
         """Load the lead generator from an Orbax training checkpoint (the
@@ -100,7 +101,9 @@ class Upscaler:
 
         ``ensemble=True`` loads EVERY pool member and serves the
         member-mean SR (one fused executable; a single-member checkpoint
-        degrades to the plain forward)."""
+        degrades to the plain forward). ``ema=True`` serves the
+        Polyak-averaged shadows saved by ``--ema-decay`` runs instead of
+        the raw training params."""
         import jax.numpy as jnp
 
         from srgan_tpu.training import checkpoint as ckpt
@@ -113,14 +116,16 @@ class Upscaler:
             )
         model = SRResNet.from_config(model_cfg)
         if ensemble:
-            members = ckpt.restore_all_generator_params(results_dir, prefix)
+            members = ckpt.restore_all_generator_params(
+                results_dir, prefix, ema=ema
+            )
             if len(members) == 1:
                 return cls(model, members[0], **kw)
             import jax
 
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
             return cls(model, stacked, ensemble=True, **kw)
-        params = ckpt.restore_generator_params(results_dir, prefix)
+        params = ckpt.restore_generator_params(results_dir, prefix, ema=ema)
         return cls(model, params, **kw)
 
     @classmethod
@@ -410,6 +415,7 @@ def upscale_directory(
     mesh=None,
     ensemble: bool = False,
     tta: bool = False,
+    ema: bool = False,
     min_bucket_for_direct: int = 4,
     tile: int = 256,
     tile_batch: int = 4,
@@ -452,7 +458,7 @@ def upscale_directory(
         upscaler = (
             Upscaler.from_checkpoint(
                 results_dir, prefix, enhance_output=enhance_output,
-                mesh=mesh, ensemble=ensemble, tta=tta,
+                mesh=mesh, ensemble=ensemble, tta=tta, ema=ema,
             )
             if latest_ckpt_dir(results_dir, prefix) is not None
             else Upscaler.random_init(enhance_output=enhance_output, mesh=mesh)

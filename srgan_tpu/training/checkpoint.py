@@ -198,7 +198,13 @@ def save_checkpoint(
                 json.dump(dataclasses.asdict(model_config), f, indent=2)
     payload = {
         "generators": [
-            {"params": m.state.params, "opt_state": m.state.opt_state}
+            (
+                {"params": m.state.params, "opt_state": m.state.opt_state}
+                if m.state.ema_params is None
+                else {"params": m.state.params,
+                      "opt_state": m.state.opt_state,
+                      "ema_params": m.state.ema_params}
+            )
             for m in pool.members
         ],
         "pool_meta": pool.snapshot(),
@@ -253,6 +259,16 @@ def _ondisk_generator_count(tree, default: int) -> int:
         return len(tree["generators"])
     except (KeyError, TypeError):
         return default
+
+
+def _ondisk_has_ema(tree) -> bool:
+    """Whether the snapshot saved EMA shadows (runs with
+    ``TrainConfig.ema_decay > 0``; absent otherwise, so old checkpoints
+    restore unchanged)."""
+    try:
+        return "ema_params" in tree["generators"][0]
+    except (KeyError, TypeError, IndexError):
+        return False
 
 
 def _ondisk_uses_legacy_remat_names(tree) -> bool:
@@ -326,18 +342,25 @@ def restore_checkpoint(
     # The restore template must mirror the DISK structure: n_disk generator
     # entries (every member shares one architecture, so member 0's structs
     # template any extra on-disk entries) and n_disk pool_meta records.
-    gen_template = [
-        {"params": m.state.params, "opt_state": m.state.opt_state}
-        for m in pool.members[:n_disk]
-    ]
+    disk_has_ema = _ondisk_has_ema(disk_tree)
+
+    def _gen_entry(state):
+        entry = {"params": state.params, "opt_state": state.opt_state}
+        if disk_has_ema:
+            # Mirror the on-disk EMA shadow: restore into the trainer's own
+            # shadow when it keeps one, else into a params-shaped template
+            # (read-and-discarded below — an EMA checkpoint restores cleanly
+            # into a non-EMA run, like the discriminator across phases).
+            entry["ema_params"] = (
+                state.ema_params if state.ema_params is not None
+                else state.params
+            )
+        return entry
+
+    gen_template = [_gen_entry(m.state) for m in pool.members[:n_disk]]
     spare = pool.members[0]
     while len(gen_template) < n_disk:
-        gen_template.append(
-            {
-                "params": spare.state.params,
-                "opt_state": spare.state.opt_state,
-            }
-        )
+        gen_template.append(_gen_entry(spare.state))
     legacy_remat = _ondisk_uses_legacy_remat_names(disk_tree)
     if legacy_remat:
         # Template must mirror the DISK key names; restored values are
@@ -373,8 +396,25 @@ def restore_checkpoint(
             "ResidualBlock_"
         )
 
+    ema_warm_started = False
     for m, g in zip(pool.members, restored["generators"]):
-        m.state = m.state.replace(params=g["params"], opt_state=g["opt_state"])
+        if m.state.ema_params is None:
+            ema = None  # non-EMA run: saved shadow (if any) read-and-dropped
+        elif "ema_params" in g:
+            ema = g["ema_params"]
+        else:
+            # EMA run resuming a pre-EMA snapshot: warm-start the shadow
+            # from the restored params (same rule as TrainState.create).
+            ema = jax.tree.map(jnp.array, g["params"])
+            ema_warm_started = True
+        m.state = m.state.replace(
+            params=g["params"], opt_state=g["opt_state"], ema_params=ema
+        )
+    if ema_warm_started:
+        print(
+            f"checkpoint '{prefix}' has no EMA shadows; warm-starting them "
+            "from the restored params"
+        )
     for m, meta in zip(pool.members, restored["pool_meta"]):
         m.running_loss = float(meta["running_loss"])
         m.pre_loss = float(meta["pre_loss"])
@@ -385,10 +425,17 @@ def restore_checkpoint(
         # restored leader (fresh Adam state). Copies, not references — the
         # fused steps donate their state buffers, and members sharing
         # buffers would invalidate each other.
-        lead_params = pool.members[0].state.params
+        lead = pool.members[0].state
         for m in pool.members[n_disk:]:
             m.state = m.state.replace(
-                params=jax.tree.map(jnp.array, lead_params)
+                params=jax.tree.map(jnp.array, lead.params),
+                ema_params=(
+                    None if m.state.ema_params is None
+                    else jax.tree.map(
+                        jnp.array, lead.ema_params
+                        if lead.ema_params is not None else lead.params
+                    )
+                ),
             )
         print(
             f"checkpoint '{prefix}' has {n_disk} generator(s); pool wants "
@@ -420,17 +467,27 @@ def load_model_config(results_dir: str, prefix: str) -> Optional[ModelConfig]:
     return ModelConfig(**{k: v for k, v in data.items() if k in fields})
 
 
-def restore_generator_params(results_dir: str, prefix: str, index: int = 0):
+def restore_generator_params(
+    results_dir: str, prefix: str, index: int = 0, *, ema: bool = False
+):
     """Raw (template-free) restore of one generator's params — the light
-    path for inference, no optimizer state or Trainer needed."""
-    return restore_all_generator_params(results_dir, prefix)[index]
+    path for inference, no optimizer state or Trainer needed.
+    ``ema=True`` reads the EMA shadow instead (see
+    :func:`restore_all_generator_params`)."""
+    return restore_all_generator_params(results_dir, prefix, ema=ema)[index]
 
 
-def restore_all_generator_params(results_dir: str, prefix: str) -> list:
+def restore_all_generator_params(
+    results_dir: str, prefix: str, *, ema: bool = False
+) -> list:
     """Every pool member's params (loss-sorted, leader first — the order
     snapshots are written in). Feeds ensemble inference
     (``Upscaler.from_checkpoint(..., ensemble=True)``): the pool's extra
-    members are otherwise dead weight at serving time."""
+    members are otherwise dead weight at serving time.
+
+    ``ema=True`` serves the Polyak-averaged shadows instead of the raw
+    training params (runs trained with ``--ema-decay``); raises with a
+    clear message when the snapshot carries none."""
     path = latest_ckpt_dir(results_dir, prefix)
     if path is None:
         raise FileNotFoundError(
@@ -438,11 +495,17 @@ def restore_all_generator_params(results_dir: str, prefix: str) -> list:
         )
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(path)
+    key = "ema_params" if ema else "params"
+    if ema and "ema_params" not in restored["generators"][0]:
+        raise KeyError(
+            f"checkpoint '{prefix}' in {results_dir} has no EMA shadows "
+            "(run was trained without --ema-decay); drop --ema or retrain"
+        )
     # legacy pre-explicit-name remat checkpoints (see
     # _ondisk_uses_legacy_remat_names)
     return [
         _rename_block_keys(
-            g["params"], "CheckpointResidualBlock_", "ResidualBlock_"
+            g[key], "CheckpointResidualBlock_", "ResidualBlock_"
         )
         for g in restored["generators"]
     ]

@@ -91,6 +91,7 @@ class Trainer:
                 params=params,
                 b1=cfg.train.adam_b1,
                 b2=cfg.train.adam_b2,
+                ema_decay=cfg.train.ema_decay,
             )
             members.append(PoolMember(state=state))
         self.pool = GeneratorPool(members, cfg.pool, seed=cfg.train.seed)
@@ -187,6 +188,10 @@ class Trainer:
             m.state = m.state.replace(
                 params=replicate(self.mesh, m.state.params),
                 opt_state=replicate(self.mesh, m.state.opt_state),
+                ema_params=(
+                    None if m.state.ema_params is None
+                    else replicate(self.mesh, m.state.ema_params)
+                ),
             )
         if self.d_state is not None:
             self.d_state = self.d_state.replace(
@@ -194,12 +199,14 @@ class Trainer:
                 opt_state=replicate(self.mesh, self.d_state.opt_state),
             )
 
-    def _leader(self):
-        """(apply_fn, params) of the current best generator."""
+    def _leader(self, *, serve: bool = False):
+        """(apply_fn, params) of the current best generator. ``serve=True``
+        prefers the EMA shadow when one is trained (validation/scoring read
+        the weights a user would actually serve)."""
         if self.spool is not None:
-            return self.g_model.apply, self.spool.leader_params()
+            return self.g_model.apply, self.spool.leader_params(serve=serve)
         state = self.pool.leader.state
-        return state.apply_fn, state.params
+        return state.apply_fn, (state.serve_params if serve else state.params)
 
     def _sync_pool_from_stacked(self):
         """Mirror the stacked state back into the member-list pool (the
@@ -210,7 +217,10 @@ class Trainer:
 
         states = unstack_states(self.spool.state, self.spool.n)
         for m, s, meta in zip(self.pool.members, states, self.spool.snapshot()):
-            m.state = m.state.replace(params=s.params, opt_state=s.opt_state)
+            m.state = m.state.replace(
+                params=s.params, opt_state=s.opt_state,
+                ema_params=s.ema_params,
+            )
             m.running_loss = meta["running_loss"]
             m.pre_loss = meta["pre_loss"]
             m.gan_updates = meta["gan_updates"]
@@ -583,8 +593,10 @@ class Trainer:
 
     def compute_score(self, val_pipeline: TrainPipeline, epoch: int) -> tuple:
         """Batched on-device PSNR/SSIM over ≤ score_max_batches val batches
-        (``src/train.py:263-294`` incl. the 30-batch cap)."""
-        apply_fn, params = self._leader()
+        (``src/train.py:263-294`` incl. the 30-batch cap). Scores the
+        SERVING weights (EMA shadow when trained) — keep_best then tracks
+        the quality a user would actually get from the checkpoint."""
+        apply_fn, params = self._leader(serve=True)
         key = jax.random.fold_in(
             jax.random.key(self.cfg.train.seed + 977), epoch
         )
@@ -601,8 +613,9 @@ class Trainer:
 
     def validate(self, val_pipeline: TrainPipeline, epoch: int) -> Optional[str]:
         """One val batch → [LR↑ | SR | HR] comparison PNG
-        (``src/train.py:233-260``)."""
-        apply_fn, params = self._leader()
+        (``src/train.py:233-260``), rendered from the serving weights
+        (EMA shadow when trained)."""
+        apply_fn, params = self._leader(serve=True)
         key = jax.random.fold_in(
             jax.random.key(self.cfg.train.seed + 1389), epoch
         )

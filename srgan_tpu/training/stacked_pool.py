@@ -58,7 +58,14 @@ def stack_states(states) -> TrainState:
     opt_state = jax.tree.map(
         lambda *xs: jnp.stack(xs), *[s.opt_state for s in states]
     )
-    return states[0].replace(params=params, opt_state=opt_state)
+    ema = None
+    if states[0].ema_params is not None:
+        ema = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[s.ema_params for s in states]
+        )
+    return states[0].replace(
+        params=params, opt_state=opt_state, ema_params=ema
+    )
 
 
 def unstack_states(stacked: TrainState, n: int):
@@ -66,6 +73,10 @@ def unstack_states(stacked: TrainState, n: int):
         stacked.replace(
             params=jax.tree.map(lambda x: x[i], stacked.params),
             opt_state=jax.tree.map(lambda x: x[i], stacked.opt_state),
+            ema_params=(
+                None if stacked.ema_params is None
+                else jax.tree.map(lambda x: x[i], stacked.ema_params)
+            ),
         )
         for i in range(n)
     ]
@@ -156,7 +167,9 @@ def stacked_pool_step(
     new_params, new_opt = jax.vmap(member_update)(
         grads, stacked_state.opt_state, stacked_state.params
     )
-    new_state = stacked_state.replace(params=new_params, opt_state=new_opt)
+    new_state = stacked_state.replace(
+        params=new_params, opt_state=new_opt
+    ).update_ema()
     metrics = {"com_loss": com, "tv_loss": tv, "g_d_loss": g_d, "p_loss": p,
                "g_loss": com + tv + gan_mask * g_d + p_weight * p}
     metrics["packed"] = pack_metrics(metrics)  # (5, N): one drain fetch
@@ -211,7 +224,9 @@ def stacked_pool_gan_step(
     new_params, new_opt = jax.vmap(member_update)(
         grads, stacked_state.opt_state, stacked_state.params
     )
-    new_g_state = stacked_state.replace(params=new_params, opt_state=new_opt)
+    new_g_state = stacked_state.replace(
+        params=new_params, opt_state=new_opt
+    ).update_ema()
 
     sr_d = jnp.take(srs, d_target_idx, axis=0)
 
@@ -359,7 +374,9 @@ def scanned_pool_step(
         stacked_state, apply_fn, d_apply_fn, d_params, hr, lr_imgs,
         gan_mask, lr, vgg_apply_fn, vgg_params, p_weight, d_target_idx,
     )
-    new_state = stacked_state.replace(params=new_params, opt_state=new_opt)
+    new_state = stacked_state.replace(
+        params=new_params, opt_state=new_opt
+    ).update_ema()
     metrics = {"com_loss": com, "tv_loss": tv, "g_d_loss": g_d, "p_loss": p,
                "g_loss": com + tv + gan_mask * g_d + p_weight * p}
     metrics["packed"] = pack_metrics(metrics)
@@ -398,7 +415,9 @@ def scanned_pool_gan_step(
         stacked_state, apply_fn, d_apply_fn, d_state.params, hr, lr_imgs,
         gan_mask, g_lr, vgg_apply_fn, vgg_params, p_weight, d_target_idx,
     )
-    new_g_state = stacked_state.replace(params=new_params, opt_state=new_opt)
+    new_g_state = stacked_state.replace(
+        params=new_params, opt_state=new_opt
+    ).update_ema()
 
     def d_loss_fn(d_params):
         real_preds = d_apply_fn({"params": d_params}, hr)
@@ -546,11 +565,16 @@ class StackedGeneratorPool:
                 )
             )
 
-    def leader_params(self):
-        return jax.tree.map(lambda x: x[0], self.state.params)
+    def leader_params(self, *, serve: bool = False):
+        """Member 0's params; ``serve=True`` prefers the EMA shadow when
+        the pool trains one (eval/validation/serving read the averaged
+        weights — ``TrainState.serve_params`` semantics)."""
+        src = self.state.serve_params if serve else self.state.params
+        return jax.tree.map(lambda x: x[0], src)
 
-    def member_params(self, i: int):
-        return jax.tree.map(lambda x: x[i], self.state.params)
+    def member_params(self, i: int, *, serve: bool = False):
+        src = self.state.serve_params if serve else self.state.params
+        return jax.tree.map(lambda x: x[i], src)
 
     def snapshot(self):
         return [

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax
+import jax.numpy as jnp
 import optax
 from flax import struct
 
@@ -24,24 +25,63 @@ class TrainState(struct.PyTreeNode):
     opt_state: optax.OptState
     apply_fn: Callable = struct.field(pytree_node=False)
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # Polyak/EMA shadow of ``params`` (``None`` = feature off, the default:
+    # the pytree structure — and therefore every compiled executable — is
+    # unchanged). The reference has no weight averaging; this is a
+    # TPU-cheap extension (one fused elementwise lerp inside the already-
+    # compiled train step) that smooths the noisy GAN endpoint at serving
+    # time (classic SR practice; measured in PARITY.md's quality section).
+    ema_params: Any = None
+    # Static so XLA constant-folds the lerp coefficients.
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     @classmethod
-    def create(cls, *, apply_fn, params, b1: float = 0.9, b2: float = 0.999):
+    def create(cls, *, apply_fn, params, b1: float = 0.9, b2: float = 0.999,
+               ema_decay: float = 0.0):
         # scale_by_adam only — the (negative) learning rate is applied per
         # step so schedules are plain host-side floats.
         tx = optax.scale_by_adam(b1=b1, b2=b2, eps=1e-8)
+        # Warm-start the shadow as a COPY of params (no debias ramp needed);
+        # a copy, not an alias — the fused steps donate their state buffers
+        # and aliased leaves would be donated twice.
+        ema = (
+            jax.tree.map(jnp.array, params) if ema_decay > 0.0 else None
+        )
         return cls(
             params=params,
             opt_state=tx.init(params),
             apply_fn=apply_fn,
             tx=tx,
+            ema_params=ema,
+            ema_decay=float(ema_decay),
         )
+
+    def update_ema(self) -> "TrainState":
+        """One EMA step: ``ema ← decay·ema + (1−decay)·params``. No-op when
+        the shadow is off. Works on plain and pool-stacked states alike
+        (the lerp is elementwise over whatever leading axes the leaves
+        carry)."""
+        if self.ema_params is None:
+            return self
+        d = self.ema_decay
+        new_ema = jax.tree.map(
+            lambda e, p: d * e + (1.0 - d) * p, self.ema_params, self.params
+        )
+        return self.replace(ema_params=new_ema)
+
+    @property
+    def serve_params(self):
+        """Parameters to evaluate/serve with: the EMA shadow when enabled,
+        else the raw training params."""
+        return self.params if self.ema_params is None else self.ema_params
 
     def apply_gradients(self, grads, lr) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         new_params = optax.apply_updates(self.params, updates)
-        return self.replace(params=new_params, opt_state=new_opt_state)
+        return self.replace(
+            params=new_params, opt_state=new_opt_state
+        ).update_ema()
 
 
 def epoch_lr(cfg: TrainConfig, base_lr: float, epoch: int) -> float:

@@ -1,0 +1,335 @@
+"""EMA (Polyak-averaged) generator weights — a TPU-cheap extension over
+the reference (which serves raw last-step weights): exact shadow math,
+stacked-pool propagation (vmap + scan executors, re-sort permutation),
+checkpoint round-trips across EMA/non-EMA runs, and the serving surfaces
+(``eval --ema`` / ``Upscaler.from_checkpoint(ema=True)``)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srgan_tpu.config import ModelConfig, PoolConfig, TrainConfig
+from srgan_tpu.models.srresnet import init_generator
+from srgan_tpu.training.steps import generator_pixel_step
+from srgan_tpu.training.train_state import TrainState
+
+
+def _tiny_gen(seed=0):
+    cfg = ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
+    model, params = init_generator(cfg, jax.random.key(seed), sample_hw=(8, 8))
+    return model, params
+
+
+def _tree_allclose(a, b, **kw):
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), **kw)
+
+
+class TestEmaMath:
+    def test_exact_lerp_over_updates(self, rng):
+        """ema_t = d*ema_{t-1} + (1-d)*params_t, warm-started at params_0 —
+        verified against a hand-rolled trajectory."""
+        d = 0.5
+        w0 = rng.standard_normal((4, 3)).astype(np.float32)
+        grads = [rng.standard_normal((4, 3)).astype(np.float32)
+                 for _ in range(3)]
+
+        state = TrainState.create(
+            apply_fn=None, params={"w": jnp.asarray(w0)}, ema_decay=d
+        )
+        # reference trajectory: plain (non-EMA) state sees identical updates
+        ref = TrainState.create(apply_fn=None, params={"w": jnp.asarray(w0)})
+        ema = w0.copy()
+        for g in grads:
+            state = state.apply_gradients({"w": jnp.asarray(g)}, jnp.asarray(1e-2))
+            ref = ref.apply_gradients({"w": jnp.asarray(g)}, jnp.asarray(1e-2))
+            ema = d * ema + (1 - d) * np.asarray(ref.params["w"])
+        np.testing.assert_allclose(
+            np.asarray(state.params["w"]), np.asarray(ref.params["w"]),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.ema_params["w"]), ema, rtol=1e-5, atol=1e-7
+        )
+
+    def test_off_by_default(self):
+        state = TrainState.create(apply_fn=None, params={"w": jnp.zeros(3)})
+        assert state.ema_params is None
+        assert state.serve_params is state.params
+        state = state.apply_gradients({"w": jnp.ones(3)}, jnp.asarray(1e-2))
+        assert state.ema_params is None  # update keeps the shadow off
+
+    def test_serve_params_prefers_shadow(self):
+        state = TrainState.create(
+            apply_fn=None, params={"w": jnp.zeros(3)}, ema_decay=0.9
+        )
+        assert state.serve_params is state.ema_params
+
+    def test_shadow_is_a_copy_not_an_alias(self):
+        """The fused steps donate their state buffers; an aliased shadow
+        would be donated twice."""
+        p = {"w": jnp.ones(3)}
+        state = TrainState.create(apply_fn=None, params=p, ema_decay=0.9)
+        assert state.ema_params["w"] is not state.params["w"]
+
+    def test_shadow_lags_training_in_a_real_step(self, rng):
+        model, params = _tiny_gen()
+        state = TrainState.create(
+            apply_fn=model.apply, params=params, ema_decay=0.9
+        )
+        hr = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+        lr = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+        p0 = jax.tree.map(np.asarray, state.params)
+        for _ in range(3):
+            state, _ = generator_pixel_step(state, hr, lr, jnp.asarray(1e-3))
+        # shadow moved off the init, but less far than the raw params
+        moved = jax.tree.map(
+            lambda a, b, c: (np.abs(np.asarray(b) - a).sum(),
+                             np.abs(np.asarray(c) - a).sum()),
+            p0, state.ema_params, state.params,
+        )
+        ema_dist = sum(m[0] for m in jax.tree.leaves(moved, is_leaf=lambda x: isinstance(x, tuple)))
+        par_dist = sum(m[1] for m in jax.tree.leaves(moved, is_leaf=lambda x: isinstance(x, tuple)))
+        assert 0.0 < ema_dist < par_dist
+
+
+class TestEmaStackedPool:
+    def _stacked(self, n=3, decay=0.8):
+        from srgan_tpu.training.stacked_pool import stack_states
+
+        model, _ = _tiny_gen()
+        states = []
+        for i in range(n):
+            _, params = _tiny_gen(seed=i)
+            states.append(TrainState.create(
+                apply_fn=model.apply, params=params, ema_decay=decay
+            ))
+        return model, states, stack_states(states)
+
+    def test_stack_unstack_roundtrip_carries_ema(self):
+        from srgan_tpu.training.stacked_pool import unstack_states
+
+        _, states, stacked = self._stacked()
+        assert stacked.ema_params is not None
+        back = unstack_states(stacked, 3)
+        for s0, s1 in zip(states, back):
+            _tree_allclose(s0.ema_params, s1.ema_params)
+
+    def test_vmapped_step_updates_each_member_shadow(self, rng):
+        from srgan_tpu.training.stacked_pool import stacked_pool_step
+
+        model, states, stacked = self._stacked(decay=0.8)
+        hr = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+        lr = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+        mask = jnp.zeros(3)
+        # snapshot BEFORE the call: the step donates its state buffers
+        e0 = jax.tree.map(np.asarray, stacked.ema_params)
+        new_state, _ = stacked_pool_step(
+            stacked, model.apply, None, None, hr, lr, mask, jnp.asarray(1e-3)
+        )
+        want = jax.tree.map(
+            lambda e, p: 0.8 * e + 0.2 * np.asarray(p),
+            e0, new_state.params,
+        )
+        _tree_allclose(new_state.ema_params, want, rtol=1e-6, atol=1e-7)
+
+    def test_scanned_step_updates_each_member_shadow(self, rng):
+        """The scan executor advances the shadow by the same rule as the
+        vmapped one, each against its OWN post-update params. (Cross-
+        executor param equality is inherently loose: Adam's first-step
+        update is ~sign(g)·lr, so a low-bit gradient difference between
+        the batched-vmap and scanned convolutions flips a near-zero grad's
+        sign and moves a param by 2·lr — same reason the existing
+        scan/vmap parity tests compare at update-scale tolerances.)"""
+        from srgan_tpu.training.stacked_pool import scanned_pool_step
+
+        model, _, stacked = self._stacked(decay=0.8)
+        hr = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+        lr = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+        mask = jnp.zeros(3)
+        e0 = jax.tree.map(np.asarray, stacked.ema_params)
+        new_state, _ = scanned_pool_step(
+            stacked, model.apply, None, None, hr, lr, mask, jnp.asarray(1e-3)
+        )
+        want = jax.tree.map(
+            lambda e, p: 0.8 * e + 0.2 * np.asarray(p),
+            e0, new_state.params,
+        )
+        _tree_allclose(new_state.ema_params, want, rtol=1e-6, atol=1e-7)
+
+    def test_resort_permutes_shadows_with_members(self):
+        from srgan_tpu.training.stacked_pool import permute_members
+
+        _, _, stacked = self._stacked()
+        perm = jnp.asarray([2, 0, 1])
+        permuted = permute_members(stacked, perm)
+        for i, j in enumerate([2, 0, 1]):
+            _tree_allclose(
+                jax.tree.map(lambda x: x[i], permuted.ema_params),
+                jax.tree.map(lambda x: x[j], stacked.ema_params),
+            )
+
+    def test_leader_params_serve_reads_shadow(self):
+        from srgan_tpu.training.stacked_pool import StackedGeneratorPool
+
+        model, states, stacked = self._stacked()
+        spool = StackedGeneratorPool(stacked, 3, PoolConfig(num_generators=3))
+        _tree_allclose(spool.leader_params(serve=True),
+                       jax.tree.map(lambda x: x[0], stacked.ema_params))
+        _tree_allclose(spool.leader_params(),
+                       jax.tree.map(lambda x: x[0], stacked.params))
+
+
+class TestEmaCheckpoint:
+    def _pool(self, decay, n=1):
+        from srgan_tpu.training.pool import GeneratorPool, PoolMember
+
+        model, _ = _tiny_gen()
+        members = []
+        for i in range(n):
+            _, params = _tiny_gen(seed=10 + i)
+            members.append(PoolMember(state=TrainState.create(
+                apply_fn=model.apply, params=params, ema_decay=decay
+            )))
+        return GeneratorPool(members, PoolConfig(num_generators=n))
+
+    def _advance(self, pool, rng):
+        hr = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        lr = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+        for m in pool.members:
+            m.state, _ = generator_pixel_step(m.state, hr, lr, jnp.asarray(1e-3))
+
+    def test_roundtrip_restores_shadow(self, tmp_path, rng):
+        import srgan_tpu.training.checkpoint as ckpt
+
+        pool = self._pool(decay=0.9)
+        self._advance(pool, rng)  # shadow != params now
+        ckpt.save_checkpoint(
+            str(tmp_path), "T", pool=pool, d_state=None, epoch=1
+        )
+        pool2 = self._pool(decay=0.9)
+        pool2, _, _ = ckpt.restore_checkpoint(
+            str(tmp_path), "T", pool=pool2, d_state=None
+        )
+        _tree_allclose(pool2.members[0].state.ema_params,
+                       pool.members[0].state.ema_params)
+        _tree_allclose(pool2.members[0].state.params,
+                       pool.members[0].state.params)
+
+    def test_ema_ckpt_into_non_ema_run_drops_shadow(self, tmp_path, rng):
+        import srgan_tpu.training.checkpoint as ckpt
+
+        pool = self._pool(decay=0.9)
+        self._advance(pool, rng)
+        ckpt.save_checkpoint(
+            str(tmp_path), "T", pool=pool, d_state=None, epoch=1
+        )
+        plain = self._pool(decay=0.0)
+        plain, _, _ = ckpt.restore_checkpoint(
+            str(tmp_path), "T", pool=plain, d_state=None
+        )
+        assert plain.members[0].state.ema_params is None
+        _tree_allclose(plain.members[0].state.params,
+                       pool.members[0].state.params)
+
+    def test_non_ema_ckpt_warm_starts_shadow(self, tmp_path, rng, capsys):
+        import srgan_tpu.training.checkpoint as ckpt
+
+        pool = self._pool(decay=0.0)
+        self._advance(pool, rng)
+        ckpt.save_checkpoint(
+            str(tmp_path), "T", pool=pool, d_state=None, epoch=1
+        )
+        emapool = self._pool(decay=0.9)
+        emapool, _, _ = ckpt.restore_checkpoint(
+            str(tmp_path), "T", pool=emapool, d_state=None
+        )
+        # shadow warm-started from the restored params
+        _tree_allclose(emapool.members[0].state.ema_params,
+                       pool.members[0].state.params)
+        assert "warm-starting" in capsys.readouterr().out
+
+    def test_restore_all_generator_params_ema(self, tmp_path, rng):
+        import srgan_tpu.training.checkpoint as ckpt
+
+        pool = self._pool(decay=0.9)
+        self._advance(pool, rng)
+        ckpt.save_checkpoint(
+            str(tmp_path), "T", pool=pool, d_state=None, epoch=1
+        )
+        shadows = ckpt.restore_all_generator_params(
+            str(tmp_path), "T", ema=True
+        )
+        _tree_allclose(shadows[0], pool.members[0].state.ema_params)
+        raws = ckpt.restore_all_generator_params(str(tmp_path), "T")
+        _tree_allclose(raws[0], pool.members[0].state.params)
+
+    def test_ema_flag_on_non_ema_ckpt_raises(self, tmp_path, rng):
+        import srgan_tpu.training.checkpoint as ckpt
+
+        pool = self._pool(decay=0.0)
+        ckpt.save_checkpoint(
+            str(tmp_path), "T", pool=pool, d_state=None, epoch=0
+        )
+        with pytest.raises(KeyError, match="no EMA shadows"):
+            ckpt.restore_all_generator_params(str(tmp_path), "T", ema=True)
+
+
+class TestEmaTrainerIntegration:
+    def test_trainer_validates_with_shadow_and_eval_serves_it(
+        self, tmp_path, rng
+    ):
+        """A tiny EMA training run end-to-end: the Trainer scores the
+        shadow, the checkpoint carries it, and the eval path serves it via
+        ``ema=True`` (distinct output from the raw weights)."""
+        import os
+
+        from PIL import Image
+
+        from srgan_tpu.config import Config, DataConfig
+        from srgan_tpu.eval.inference import Upscaler
+        from srgan_tpu.training.loop import Trainer
+
+        data_dir = str(tmp_path / "data")
+        os.makedirs(data_dir)
+        r = np.random.default_rng(3)
+        for i in range(4):
+            base = r.integers(40, 215, (8, 8, 3), dtype=np.uint8)
+            img = np.asarray(
+                Image.fromarray(base).resize((32, 32), Image.BICUBIC)
+            )
+            Image.fromarray(img).save(os.path.join(data_dir, f"i{i}.png"))
+
+        cfg = Config(
+            model=ModelConfig(num_features=8, num_residuals=1,
+                              upscale_factor=2),
+            data=DataConfig(hr_size=(32, 32), upscale_factor=2, batch_size=2,
+                            split_ratio=1.0, num_workers=2),
+            train=TrainConfig(num_epochs=2, validate_every=0,
+                              score_max_batches=1, ema_decay=0.5,
+                              results_dir=str(tmp_path / "results")),
+        )
+        trainer = Trainer(cfg, use_mesh=False)
+        trainer.train(data_dir, data_dir)
+
+        # the trainer's serving view differs from its raw view
+        _, raw = trainer._leader()
+        _, srv = trainer._leader(serve=True)
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(raw), jax.tree.leaves(srv))
+        )
+
+        up_raw = Upscaler.from_checkpoint(cfg.train.results_dir, "Training")
+        up_ema = Upscaler.from_checkpoint(
+            cfg.train.results_dir, "Training", ema=True
+        )
+        x = r.random((16, 16, 3)).astype(np.float32)
+        a, b = up_raw.upscale(x), up_ema.upscale(x)
+        assert a.shape == b.shape == (32, 32, 3)
+        assert not np.allclose(a, b)
+        _tree_allclose(
+            up_ema.params, trainer.pool.members[0].state.ema_params
+        )
