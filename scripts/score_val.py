@@ -11,7 +11,7 @@ EMA views of one run share the identical training trajectory.
 
 Usage:
   python scripts/score_val.py --results-dir /tmp/run --val-dir /tmp/val \
-      [--ema] [--member N | --all-members] [--batch 24] [--bf16]
+      [--ema] [--member N] [--batch 24]
 
 Prints one JSON line: {"psnr": ..., "ssim": ..., "ema": ..., "n_batches": N}
 """
