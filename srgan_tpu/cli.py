@@ -170,6 +170,12 @@ def _add_eval(sub):
     p.add_argument("--ema", action="store_true",
                    help="serve the Polyak-averaged (EMA) weights saved by "
                         "an --ema-decay training run")
+    p.add_argument("--perceptual-metric", default=None, metavar="NPZ",
+                   help="trained contrastive-encoder archive "
+                        "(train-encoder output): also report the average "
+                        "encoder feature distance (LPIPS-style, lower = "
+                        "better) — the eval-side counterpart of "
+                        "--perceptual-encoder")
 
 
 def _add_upscale(sub):
@@ -405,6 +411,7 @@ def main(argv=None):
             ensemble=args.ensemble,
             tta=args.tta,
             ema=args.ema,
+            perceptual_metric=args.perceptual_metric,
         )
     elif args.cmd == "upscale":
         import os

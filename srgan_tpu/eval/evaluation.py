@@ -54,10 +54,21 @@ def evaluate_model(
     ensemble: bool = False,
     tta: bool = False,
     ema: bool = False,
+    perceptual_metric: Optional[str] = None,
     verbose: bool = True,
 ) -> tuple:
     """Returns (avg_psnr, avg_ssim) over the paired eval set
-    (``evaluate_model``, ``src/evaluation.py:15-61``).
+    (``evaluate_model``, ``src/evaluation.py:15-61``) — plus a third
+    element, the average encoder perceptual distance, when
+    ``perceptual_metric`` is given.
+
+    ``perceptual_metric``: path to a trained contrastive-encoder ``.npz``
+    (``scripts/train_encoder.py``). Scores each pair with the LPIPS-style
+    feature distance the reference's planned image encoder implies
+    (``src/utils.py:118-121`` comment) — the same ``perceptual_loss``
+    the ``--perceptual-encoder`` training objective uses, so training
+    and evaluation share one definition. Lower is better; PSNR/SSIM are
+    unchanged.
 
     ``torch_checkpoint``: evaluate a reference PyTorch ``.pth`` generator
     directly (ported on the fly — the migration path).
@@ -67,6 +78,13 @@ def evaluate_model(
     size-diverse set (DIV2K-style) instead of once per distinct size; only
     trivial one-op resize/pad graphs remain per-size. On a uniform-size set
     padding is zero and the metrics match the per-size path numerically."""
+    if perceptual_metric is not None and bucketed:
+        raise ValueError(
+            "--perceptual-metric is not supported with --bucketed: the "
+            "edge-padded extent flows through the encoder's feature maps "
+            "and there is no masked variant of the feature distance — "
+            "score perceptual distance with per-size (non-bucketed) eval"
+        )
     eval_data = PairedImageDataset(dataset, lr_path, hr_path)
     if upscaler is None:
         from srgan_tpu.training.checkpoint import latest_ckpt_dir
@@ -127,15 +145,25 @@ def evaluate_model(
     # 50-100 ms/image of pure latency over the dev tunnel (~2 ms/call).
     fwd = _forward_fn(upscaler)
 
+    enc, enc_params = (None, None)
+    if perceptual_metric is not None:
+        from srgan_tpu.models.encoder import init_encoder_extractor
+        from srgan_tpu.models.vgg import perceptual_loss
+
+        enc, enc_params = init_encoder_extractor(perceptual_metric)
+
     @jax.jit
     def score(params, lr_b, hr_b):
         sr = fwd(params, lr_b)
         if apply_enhance:
             sr = enhance(sr)
         hr_r = resize_bilinear(hr_b, (sr.shape[1], sr.shape[2]))
-        return psnr_fn(sr[0], hr_r[0]), ssim_fn(sr[0], hr_r[0])
+        out = (psnr_fn(sr[0], hr_r[0]), ssim_fn(sr[0], hr_r[0]))
+        if enc is not None:
+            out += (perceptual_loss(sr, hr_r, enc.apply, enc_params),)
+        return out
 
-    t_psnr, t_ssim, n = 0.0, 0.0, 0
+    t_psnr, t_ssim, t_pd, n = 0.0, 0.0, 0.0, 0
     f = upscaler.model.upscale_factor
     for idx in range(len(eval_data)):
         pair = eval_data[idx]
@@ -155,18 +183,26 @@ def evaluate_model(
             # checkpoints).
             h, w = lr_b.shape[1] // f, lr_b.shape[2] // f
             lr_b = resize_bilinear(lr_b, (h, w))
-        p, s = score(upscaler.params, lr_b, jnp.asarray(hr_img)[None])
-        t_psnr += float(p)
-        t_ssim += float(s)
+        vals = score(upscaler.params, lr_b, jnp.asarray(hr_img)[None])
+        t_psnr += float(vals[0])
+        t_ssim += float(vals[1])
+        if enc is not None:
+            t_pd += float(vals[2])
         n += 1
         if verbose:
-            print(
-                f"[{n}/{len(eval_data)}] psnr={t_psnr / n:.4f} "
-                f"ssim={t_ssim / n:.4f}",
-                end="\r",
-            )
+            line = (f"[{n}/{len(eval_data)}] psnr={t_psnr / n:.4f} "
+                    f"ssim={t_ssim / n:.4f}")
+            if enc is not None:
+                line += f" enc_dist={t_pd / n:.4f}"
+            print(line, end="\r")
     avg_psnr = t_psnr / max(1, n)
     avg_ssim = t_ssim / max(1, n)
+    if enc is not None:
+        avg_pd = t_pd / max(1, n)
+        if verbose:
+            print(f"\naverage psnr = {avg_psnr}, average ssim = {avg_ssim},"
+                  f" average encoder perceptual distance = {avg_pd}")
+        return avg_psnr, avg_ssim, avg_pd
     if verbose:
         print(f"\naverage psnr = {avg_psnr}, average ssim = {avg_ssim}")
     return avg_psnr, avg_ssim
@@ -389,6 +425,7 @@ def main(argv=None):
     parser.add_argument("--bucketed", action="store_true")
     parser.add_argument("--results-dir", default="results")
     parser.add_argument("--prefix", default="Training")
+    parser.add_argument("--perceptual-metric", default=None, metavar="NPZ")
     args, _ = parser.parse_known_args(argv)
     evaluate_model(
         dataset=args.data_dir,
@@ -399,6 +436,7 @@ def main(argv=None):
         extra_downscale=not args.no_extra_downscale,
         apply_enhance=not args.no_enhance,
         bucketed=args.bucketed,
+        perceptual_metric=args.perceptual_metric,
     )
 
 

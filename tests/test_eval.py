@@ -188,6 +188,71 @@ class TestEvaluation:
             evaluate_model(root, "LRbicx4", "original", **kw)
 
 
+class TestPerceptualMetric:
+    """``--perceptual-metric``: the eval-side LPIPS-analog served by the
+    trained contrastive encoder (the reference's planned image-encoder
+    objective, ``src/utils.py:118-121`` comment, applied as a metric)."""
+
+    def _save_encoder(self, path):
+        import jax
+
+        from srgan_tpu.models.encoder import init_encoder, save_encoder_npz
+
+        model, params = init_encoder(
+            jax.random.PRNGKey(0), features=(8, 16), embed_dim=8
+        )
+        save_encoder_npz(model, params, path)
+        return path
+
+    def test_reports_distance_and_leaves_psnr_ssim_unchanged(
+        self, tmp_path
+    ):
+        root = str(tmp_path)
+        _make_pair_dirs(root)
+        enc_path = self._save_encoder(str(tmp_path / "enc.npz"))
+        up = Upscaler.random_init(
+            ModelConfig(num_features=8, num_residuals=1, upscale_factor=4)
+        )
+        base = evaluate_model(
+            root, "LRbicx4", "original", upscaler=up, verbose=False
+        )
+        psnr, ssim, pd = evaluate_model(
+            root, "LRbicx4", "original", upscaler=up,
+            perceptual_metric=enc_path, verbose=False,
+        )
+        assert np.isfinite(pd) and pd >= 0.0
+        # the metric is an extra read-only column: PSNR/SSIM identical
+        assert psnr == pytest.approx(base[0], abs=1e-6)
+        assert ssim == pytest.approx(base[1], abs=1e-6)
+
+    def test_zero_distance_on_identical_images(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from srgan_tpu.models.encoder import init_encoder_extractor
+        from srgan_tpu.models.vgg import perceptual_loss
+
+        enc_path = self._save_encoder(str(tmp_path / "enc.npz"))
+        enc, params = init_encoder_extractor(enc_path)
+        x = jnp.asarray(
+            np.random.default_rng(0).random((1, 32, 32, 3), np.float32)
+        )
+        d = float(perceptual_loss(x, x, enc.apply, params))
+        assert d == pytest.approx(0.0, abs=1e-6)
+        y = jnp.clip(x + 0.25, 0, 1)
+        assert float(perceptual_loss(x, y, enc.apply, params)) > 1e-4
+
+    def test_bucketed_combination_rejected(self, tmp_path):
+        root = str(tmp_path)
+        _make_pair_dirs(root, n=1)
+        enc_path = self._save_encoder(str(tmp_path / "enc.npz"))
+        with pytest.raises(ValueError, match="bucketed"):
+            evaluate_model(
+                root, "LRbicx4", "original",
+                perceptual_metric=enc_path, bucketed=True, verbose=False,
+            )
+
+
 class TestMaskedMetrics:
     def test_full_valid_equals_unmasked(self, rng):
         from srgan_tpu.ops.metrics import (
