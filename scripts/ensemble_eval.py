@@ -68,8 +68,24 @@ def main():
         p, s = batched_psnr_ssim(jnp.clip(sr, 0.0, 1.0), hr)
         return jnp.mean(p), jnp.mean(s)
 
-    sums = {"lead": [0.0, 0.0], "ens": [0.0, 0.0],
-            "lead+tta": [0.0, 0.0], "ens+tta": [0.0, 0.0]}
+    # A pool-1 checkpoint degrades `ens` to a PLAIN upscaler
+    # (from_checkpoint's contract) — its params carry no member axis, so
+    # the ensemble steps would vmap over raw weight axes. Score only the
+    # lead rows and say so, instead of crashing (or silently double-
+    # reporting the lead as an "ensemble").
+    rows = [
+        ("lead", lead, infer_step, {}),
+        ("ens", ens, infer_step_ensemble, {}),
+        ("lead+tta", lead, infer_step_tta, {}),
+        ("ens+tta", ens, infer_step_tta, {"ensemble": True}),
+    ]
+    if not getattr(ens, "ensemble", False):
+        print("note: single-member checkpoint — skipping the ensemble "
+              "rows (train with --num-generators N>1 for a pool)",
+              file=sys.stderr)
+        rows = [r for r in rows if r[0] in ("lead", "lead+tta")]
+
+    sums = {name: [0.0, 0.0] for name, *_ in rows}
     n_batches = 0
     batch_paths = [
         [ds.path(j) for j in range(i, min(i + args.batch, len(ds)))]
@@ -90,12 +106,7 @@ def main():
             continue
         hr_u8 = jnp.asarray(np.stack(imgs))
         hr, lr = prep(hr_u8)
-        for name, up, step, kw in (
-            ("lead", lead, infer_step, {}),
-            ("ens", ens, infer_step_ensemble, {}),
-            ("lead+tta", lead, infer_step_tta, {}),
-            ("ens+tta", ens, infer_step_tta, {"ensemble": True}),
-        ):
+        for name, up, step, kw in rows:
             sr = step(up.model.apply, up.params, lr, **kw)
             p, s = score(sr, hr)
             sums[name][0] += float(p)
@@ -110,7 +121,7 @@ def main():
             f"readable images but --batch is {args.batch}; lower --batch "
             "or point --val-dir at a larger set"
         )
-    for name in ("lead", "ens", "lead+tta", "ens+tta"):
+    for name in sums:
         p, s = (v / max(1, n_batches) for v in sums[name])
         print(f"{name}: psnr={p:.3f} ssim={s:.4f} ({n_batches} batches)")
 
