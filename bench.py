@@ -375,7 +375,10 @@ def bench_serving_e2e(on_tpu: bool) -> dict:
 
     lr_h, lr_w = (128, 256) if on_tpu else (32, 64)
     n = int(os.environ.get("BENCH_E2E_IMAGES", "16" if on_tpu else "4"))
-    in_dir = f"/tmp/srbench_e2e_{lr_h}x{lr_w}"
+    # Key the folder by n too: make_dataset only tops a folder UP, so a
+    # stale larger run would serve extra files and trip the written!=n
+    # check below on a perfectly healthy pipeline.
+    in_dir = f"/tmp/srbench_e2e_{lr_h}x{lr_w}_n{n}"
     make_dataset(in_dir, n, lr_h, lr_w)
     ups = Upscaler.random_init(
         ModelConfig(compute_dtype="bfloat16" if on_tpu else "float32")

@@ -72,6 +72,16 @@ def main():
         f for f in os.listdir(args.val_dir)
         if f.lower().endswith((".png", ".jpg", ".jpeg"))
     )
+    if not files:
+        sys.exit(f"error: no images (.png/.jpg/.jpeg) in {args.val_dir}")
+    if len(files) < args.batch:
+        # The pipeline yields only FULL batches (static shapes); with
+        # fewer images than --batch it yields none and the mean below
+        # would crash on an empty stack.
+        sys.exit(
+            f"error: {args.val_dir} has {len(files)} images but --batch "
+            f"is {args.batch} — no full batch to score; lower --batch"
+        )
     w, h = Image.open(os.path.join(args.val_dir, files[0])).size
     data_cfg = DataConfig(
         hr_size=(h, w), upscale_factor=model_cfg.upscale_factor,

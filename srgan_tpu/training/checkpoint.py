@@ -271,6 +271,16 @@ def _ondisk_has_ema(tree) -> bool:
         return False
 
 
+def _ondisk_meta_has_gate(tree) -> bool:
+    """Whether the snapshot's pool_meta records carry the auto-calibrated
+    ``gan_threshold`` (absent in pre-r4 checkpoints, which restore
+    unchanged and recalibrate at the next epoch end)."""
+    try:
+        return "gan_threshold" in tree["pool_meta"][0]
+    except (KeyError, TypeError, IndexError):
+        return False
+
+
 def _ondisk_uses_legacy_remat_names(tree) -> bool:
     """Checkpoints written before the explicit-block-name fix (when
     ``remat=True`` let ``nn.remat``'s auto-naming produce
@@ -369,6 +379,13 @@ def restore_checkpoint(
             gen_template, "ResidualBlock_", "CheckpointResidualBlock_"
         )
     meta_template = pool.snapshot()[:1] * n_disk
+    if not _ondisk_meta_has_gate(disk_tree):
+        # Pre-r4 snapshot: its meta records have no gan_threshold — the
+        # template must mirror the DISK structure exactly.
+        meta_template = [
+            {k: v for k, v in rec.items() if k != "gan_threshold"}
+            for rec in meta_template
+        ]
     template = {
         "generators": gen_template,
         "pool_meta": meta_template,
@@ -420,6 +437,19 @@ def restore_checkpoint(
         m.pre_loss = float(meta["pre_loss"])
         m.gan_updates = int(meta["gan_updates"])
         m.pixel_updates = int(meta["pixel_updates"])
+    gate = restored["pool_meta"][0].get("gan_threshold")
+    if gate is not None and pool.cfg.starting_gan_loss is None:
+        import math
+
+        # Auto-gate mode only (an explicit --starting-gan-loss always
+        # wins). NaN = the saved run had not calibrated yet; a finite
+        # value restores so --resume continues under the SAME regime
+        # schedule as the uninterrupted run — recalibrating from restored
+        # (already-converged) losses would pin the gate far below
+        # anything the members reach and silently disable the
+        # below-regime dynamic.
+        if math.isfinite(float(gate)):
+            pool.gan_threshold = float(gate)
     if len(pool.members) > n_disk:
         # Pool grew across phases: warm-start the extras as COPIES of the
         # restored leader (fresh Adam state). Copies, not references — the

@@ -94,6 +94,12 @@ def train_contrastive_encoder(
     Returns a summary dict (``loss0``/``lossN``/``align``/``unif``/
     ``wall_s`` …) — the JSON line both CLI surfaces print.
     """
+    if steps < 1:
+        # Never write a random-weight archive that LOOKS like a trained
+        # prior — feeding it to --perceptual-encoder would silently
+        # reproduce the random-feature objective this path exists to
+        # eliminate (and the summary below would crash on float(None)).
+        raise ValueError(f"steps must be >= 1, got {steps}")
     import jax
     import jax.numpy as jnp
 

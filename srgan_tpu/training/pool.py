@@ -190,12 +190,25 @@ class GeneratorPool:
                 )
 
     def snapshot(self) -> List[dict]:
+        # gan_threshold rides in every record (keeps the list-of-same-
+        # struct shape orbax wants); NaN encodes "not yet calibrated" so
+        # an auto-gate run resumed before its first end_epoch recalibrates
+        # as a fresh run would. Persisting it matters: recalibrating from
+        # post-restore (already-converged) losses would pin the gate far
+        # below anything the members can reach and silently disable the
+        # below-regime dynamic for the rest of a resumed run.
+        gate = (
+            float(self.gan_threshold)
+            if self.gan_threshold is not None
+            else float("nan")
+        )
         return [
             {
                 "running_loss": m.running_loss,
                 "pre_loss": m.pre_loss,
                 "gan_updates": m.gan_updates,
                 "pixel_updates": m.pixel_updates,
+                "gan_threshold": gate,
             }
             for m in self.members
         ]

@@ -577,12 +577,21 @@ class StackedGeneratorPool:
         return jax.tree.map(lambda x: x[i], src)
 
     def snapshot(self):
+        # Same record shape as GeneratorPool.snapshot (NaN = auto gate not
+        # yet calibrated) — snapshots from either representation restore
+        # into either.
+        gate = (
+            float(self.gan_threshold)
+            if self.gan_threshold is not None
+            else float("nan")
+        )
         return [
             {
                 "running_loss": float(self.running_loss[i]),
                 "pre_loss": float(self.pre_loss[i]),
                 "gan_updates": int(self.gan_updates[i]),
                 "pixel_updates": int(self.pixel_updates[i]),
+                "gan_threshold": gate,
             }
             for i in range(self.n)
         ]

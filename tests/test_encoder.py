@@ -130,6 +130,22 @@ class TestNpzRoundTrip:
         with pytest.raises(KeyError):
             load_encoder_npz(path)
 
+    def test_zero_steps_rejected_without_writing(self, tmp_path):
+        """steps=0 must NOT leave a random-weight archive on disk that
+        looks like a trained prior (r4 review finding)."""
+        import os
+
+        from srgan_tpu.training.encoder_train import (
+            train_contrastive_encoder,
+        )
+
+        out = str(tmp_path / "enc.npz")
+        with pytest.raises(ValueError, match="steps"):
+            train_contrastive_encoder(
+                str(tmp_path), out, steps=0, verbose=False
+            )
+        assert not os.path.exists(out)
+
 
 class TestPerceptualWiring:
     def test_perceptual_term_accepts_encoder_features(self, enc):

@@ -506,6 +506,92 @@ class TestCheckpoint:
         got = jax.tree.map(np.asarray, restored_pool.members[0].state.params)
         jax.tree.map(np.testing.assert_array_equal, got, saved)
 
+    def test_auto_gate_threshold_survives_roundtrip(self, tmp_path):
+        """A resumed auto-gate run must keep its calibrated threshold:
+        recalibrating from restored (already-converged) losses pins the
+        gate below anything the members reach and silently disables the
+        below-regime dynamic (r4 review finding)."""
+        from srgan_tpu.training import checkpoint as ckpt
+
+        model, params = _tiny_gen()
+        pool = GeneratorPool(
+            [PoolMember(TrainState.create(apply_fn=model.apply,
+                                          params=params))],
+            PoolConfig(starting_gan_loss=None),
+        )
+        pool.gan_threshold = 0.91  # as calibrated at epoch-1 end
+        ckpt.save_checkpoint(
+            str(tmp_path), "G", pool=pool, d_state=None, epoch=3
+        )
+
+        fresh = GeneratorPool(
+            [PoolMember(TrainState.create(apply_fn=model.apply,
+                                          params=params))],
+            PoolConfig(starting_gan_loss=None),
+        )
+        assert fresh.gan_threshold is None
+        restored, _, _ = ckpt.restore_checkpoint(
+            str(tmp_path), "G", pool=fresh, d_state=None
+        )
+        assert restored.gan_threshold == pytest.approx(0.91)
+
+        # An EXPLICIT --starting-gan-loss always wins over the saved value.
+        pinned = GeneratorPool(
+            [PoolMember(TrainState.create(apply_fn=model.apply,
+                                          params=params))],
+            PoolConfig(starting_gan_loss=0.05),
+        )
+        restored2, _, _ = ckpt.restore_checkpoint(
+            str(tmp_path), "G", pool=pinned, d_state=None
+        )
+        assert restored2.gan_threshold == pytest.approx(0.05)
+
+    def test_uncalibrated_and_legacy_snapshots_restore(self, tmp_path,
+                                                       monkeypatch):
+        """NaN (saved before the epoch-1 calibration) and pre-r4 records
+        (no gan_threshold key at all) both leave the fresh pool's auto
+        gate uncalibrated instead of failing the template match."""
+        from srgan_tpu.training import checkpoint as ckpt
+
+        model, params = _tiny_gen()
+
+        def mk():
+            return GeneratorPool(
+                [PoolMember(TrainState.create(apply_fn=model.apply,
+                                              params=params))],
+                PoolConfig(starting_gan_loss=None),
+            )
+
+        # Uncalibrated save: gan_threshold is None → NaN on disk.
+        pool = mk()
+        ckpt.save_checkpoint(
+            str(tmp_path / "nan"), "G", pool=pool, d_state=None, epoch=1
+        )
+        restored, _, _ = ckpt.restore_checkpoint(
+            str(tmp_path / "nan"), "G", pool=mk(), d_state=None
+        )
+        assert restored.gan_threshold is None
+
+        # Legacy (pre-r4) snapshot: meta records carry no gan_threshold.
+        legacy = mk()
+        orig = GeneratorPool.snapshot
+        monkeypatch.setattr(
+            GeneratorPool, "snapshot",
+            lambda self: [
+                {k: v for k, v in rec.items() if k != "gan_threshold"}
+                for rec in orig(self)
+            ],
+        )
+        ckpt.save_checkpoint(
+            str(tmp_path / "legacy"), "G", pool=legacy, d_state=None,
+            epoch=1,
+        )
+        monkeypatch.undo()
+        restored, _, _ = ckpt.restore_checkpoint(
+            str(tmp_path / "legacy"), "G", pool=mk(), d_state=None
+        )
+        assert restored.gan_threshold is None
+
     def test_versioned_snapshots_never_overwrite_in_place(self, tmp_path):
         """Crash-safety invariant: a snapshot is NEVER deleted before a
         newer one has committed. Each save lands in a fresh versioned dir
