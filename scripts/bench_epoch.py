@@ -172,6 +172,7 @@ def main():
         val_pipeline = TrainPipeline(
             cfg.data, val_dir, use_split=False,
             seed=cfg.train.seed + 1, sharding=trainer.data_sharding,
+            augment=False,
         )
     print(f"steps/epoch={pipeline.steps_per_epoch()} batch={args.batch} "
           f"gan={args.gan} pool={args.pool} F={args.features}")

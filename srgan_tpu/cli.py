@@ -109,6 +109,11 @@ def _add_train(sub):
                    help="pepper-spot density bound (see --salt-prob)")
     p.add_argument("--spot-size", type=int, default=1,
                    help="square spot side for salt & pepper corruption")
+    p.add_argument("--augment", action="store_true",
+                   help="random H/V flips of each HR clip before "
+                        "degradation (device-side, ~free; validation never "
+                        "augments). Off by default — the reference's "
+                        "pipeline has no augmentation")
     p.add_argument("--lr-generator", type=float, default=1e-4)
     p.add_argument("--lr-schedule", choices=("linear", "cosine"),
                    default="linear",
@@ -328,6 +333,7 @@ def main(argv=None):
                 salt_prob=args.salt_prob,
                 pepper_prob=args.pepper_prob,
                 sp_spot_size=args.spot_size,
+                augment_flips=args.augment,
                 device_cache=args.device_cache,
             ),
             pool=PoolConfig(

@@ -85,6 +85,11 @@ class DataConfig:
     salt_prob: float = 0.0
     pepper_prob: float = 0.0
     sp_spot_size: int = 1
+    # Per-image random H/V flips of the HR clip before degradation
+    # (label-consistent pairs, device-side, ~free). An augmentation the
+    # reference lacks — off by default to match its pipeline exactly;
+    # training pipelines honor it, validation never augments.
+    augment_flips: bool = False
     prefetch_depth: int = 2
     num_workers: int = 4
     drop_remainder: bool = True

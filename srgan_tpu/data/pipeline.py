@@ -219,8 +219,12 @@ class TrainPipeline:
         seed: int = 0,
         sharding=None,
         cache_budget: "DeviceCacheBudget | None" = None,
+        augment: "bool | None" = None,
     ):
         self.cfg = cfg
+        # Validation pipelines pass augment=False: scoring must see the
+        # images themselves, not random flips of them.
+        self.augment = cfg.augment_flips if augment is None else augment
         self.dataset = ImageFolderDataset(folder, cfg.hr_size)
         if use_split and cfg.split_ratio < 1.0:
             train_idx, _ = split_indices(
@@ -359,6 +363,7 @@ class TrainPipeline:
                 salt_prob=self.cfg.salt_prob,
                 pepper_prob=self.cfg.pepper_prob,
                 spot_size=self.cfg.sp_spot_size,
+                augment_flips=self.augment,
             )
             if self.sharding is not None and not multiprocess:
                 hr = jax.device_put(hr, self.sharding)
@@ -382,6 +387,7 @@ class TrainPipeline:
                 salt_prob=self.cfg.salt_prob,
                 pepper_prob=self.cfg.pepper_prob,
                 spot_size=self.cfg.sp_spot_size,
+                augment_flips=self.augment,
             )
 
     def close(self):

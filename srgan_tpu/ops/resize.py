@@ -78,14 +78,35 @@ def degrade_batch(
     return lr
 
 
+def random_flips(imgs: jax.Array, key: jax.Array) -> jax.Array:
+    """Per-image random horizontal/vertical flips (the 4 shape-preserving
+    dihedral elements — rotations would swap H/W on non-square clips).
+
+    A training-time augmentation the reference lacks (its pipeline is
+    resize + noise only, ``src/transformers.py:73-95``); on TPU it is two
+    reversed copies + two selects fused into the batch-prep graph —
+    negligible next to the conv tower. Applied to the HR batch BEFORE
+    degradation so the LR view is the degraded flip of the same image
+    (label-consistent pairs)."""
+    b = imgs.shape[0]
+    kh, kv = jax.random.split(key)
+    fh = jax.random.bernoulli(kh, 0.5, (b, 1, 1, 1))
+    fv = jax.random.bernoulli(kv, 0.5, (b, 1, 1, 1))
+    imgs = jnp.where(fh, imgs[:, :, ::-1, :], imgs)
+    return jnp.where(fv, imgs[:, ::-1, :, :], imgs)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("factor", "salt_prob", "pepper_prob", "spot_size"),
+    static_argnames=(
+        "factor", "salt_prob", "pepper_prob", "spot_size", "augment_flips",
+    ),
 )
 def prepare_batch(
     hr_u8: jax.Array, key: jax.Array, *, factor: int = 4,
     noise_std_max: float = 0.03,
     salt_prob: float = 0.0, pepper_prob: float = 0.0, spot_size: int = 1,
+    augment_flips: bool = False,
 ):
     """uint8 HR batch → (float32 HR, degraded float32 LR), all on device.
 
@@ -93,6 +114,11 @@ def prepare_batch(
     lossless, the host resampler outputs uint8-grid values); the /255
     conversion and the LR degradation run fused on device.
     """
+    if augment_flips:
+        # Split only when augmenting so augment-off runs keep their exact
+        # historical RNG stream (bit-reproducibility of recorded figures).
+        k_aug, key = jax.random.split(key)
+        hr_u8 = random_flips(hr_u8, k_aug)
     hr = hr_u8.astype(jnp.float32) * (1.0 / 255.0)
     lr = degrade_batch(
         hr, key, factor=factor, noise_std_max=noise_std_max,
@@ -103,13 +129,16 @@ def prepare_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("factor", "salt_prob", "pepper_prob", "spot_size"),
+    static_argnames=(
+        "factor", "salt_prob", "pepper_prob", "spot_size", "augment_flips",
+    ),
     donate_argnums=(),
 )
 def gather_prepare_batch(
     dataset_u8: jax.Array, idx: jax.Array, key: jax.Array, *,
     factor: int = 4, noise_std_max: float = 0.03,
     salt_prob: float = 0.0, pepper_prob: float = 0.0, spot_size: int = 1,
+    augment_flips: bool = False,
 ):
     """Device-resident-dataset path: gather a batch by index from the uint8
     dataset cached in HBM, then convert + degrade — zero host→device bytes
@@ -118,6 +147,7 @@ def gather_prepare_batch(
     return prepare_batch(
         hr_u8, key, factor=factor, noise_std_max=noise_std_max,
         salt_prob=salt_prob, pepper_prob=pepper_prob, spot_size=spot_size,
+        augment_flips=augment_flips,
     )
 
 

@@ -732,6 +732,7 @@ class Trainer:
             seed=cfg.train.seed + 1,
             sharding=self.data_sharding,
             cache_budget=cache_budget,
+            augment=False,  # scoring sees the images, never flips of them
         )
 
         os.makedirs(cfg.train.results_dir, exist_ok=True)

@@ -120,6 +120,74 @@ class TestResizeGolden:
         assert min(psnrs) >= 38.0, psnrs
 
 
+class TestRandomFlips:
+    """``--augment``: per-image H/V flips of the HR clip before
+    degradation — label-consistent pairs, validation never flips."""
+
+    def test_each_output_is_a_flip_variant_with_consistent_lr(self, rng):
+        from srgan_tpu.ops.resize import prepare_batch, resize_bilinear
+
+        hr_u8 = jnp.asarray(
+            rng.integers(0, 255, (16, 8, 12, 3), dtype=np.uint8)
+        )
+        hr_out, lr_out = prepare_batch(
+            hr_u8, jax.random.key(3), factor=2, noise_std_max=0.0,
+            augment_flips=True,
+        )
+        got = np.asarray(hr_out)
+        # match prepare_batch's exact arithmetic (x * (1/255) in f32 —
+        # differs from x/255 by an ulp)
+        base = np.asarray(hr_u8, np.float32) * np.float32(1.0 / 255.0)
+        variants_seen = set()
+        for i in range(base.shape[0]):
+            variants = {
+                "id": base[i], "h": base[i][:, ::-1],
+                "v": base[i][::-1], "hv": base[i][::-1, ::-1],
+            }
+            match = [k for k, v in variants.items()
+                     if np.array_equal(got[i], v)]
+            assert match, f"image {i} is not a flip variant of its input"
+            variants_seen.update(match)
+        # With 16 images and p=1/4 each, seeing at least one flipped and
+        # one unflipped image is essentially certain for a healthy RNG.
+        assert len(variants_seen) >= 2
+        # Label consistency: LR is the (noise-free) downscale of the
+        # FLIPPED HR, not of the original.
+        np.testing.assert_allclose(
+            np.asarray(lr_out), np.asarray(resize_bilinear(hr_out, (4, 6))),
+            atol=1e-6,
+        )
+
+    def test_off_by_default_and_bit_identical(self, rng):
+        from srgan_tpu.ops.resize import prepare_batch
+
+        hr_u8 = jnp.asarray(
+            rng.integers(0, 255, (4, 8, 8, 3), dtype=np.uint8)
+        )
+        a = prepare_batch(hr_u8, jax.random.key(0), factor=2)
+        b = prepare_batch(
+            hr_u8, jax.random.key(0), factor=2, augment_flips=False
+        )
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+    def test_val_pipeline_override_wins(self, tmp_path):
+        from srgan_tpu.config import DataConfig
+        from srgan_tpu.data.pipeline import TrainPipeline
+        from tests.test_data import _make_images
+
+        folder = str(tmp_path / "train")
+        _make_images(folder, 2)
+        cfg = DataConfig(
+            hr_size=(16, 16), upscale_factor=2, batch_size=2,
+            split_ratio=1.0, num_workers=1, augment_flips=True,
+        )
+        assert TrainPipeline(cfg, folder, use_split=False).augment is True
+        assert TrainPipeline(
+            cfg, folder, use_split=False, augment=False
+        ).augment is False
+
+
 class TestSaltPepper:
     def test_spot_growth_exact_square(self):
         """A single seed grows to exactly its spot_size square, anchored
