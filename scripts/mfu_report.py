@@ -210,7 +210,9 @@ def main(argv=None):
         (paths["serving_forward_u8"], args.serve_batch),
         (paths[f"train_pool{pool_n}_gan_step_scan"], args.batch),
     ):
-        rec["images_per_sec"] = round(batch / (rec["ms_per_step"] / 1e3), 1)
+        rate = batch / (rec["ms_per_step"] / 1e3)
+        # Keep slow CPU-under-load rates non-zero (round(0.03, 1) == 0.0).
+        rec["images_per_sec"] = round(rate, 1) if rate >= 1 else round(rate, 4)
         if peak and "achieved_tflops" in rec:
             rec["mfu_pct"] = round(100.0 * rec["achieved_tflops"] / peak, 1)
 
