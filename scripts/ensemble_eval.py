@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--prefix", default="Training")
     ap.add_argument("--val-dir", default="/tmp/srbench_data_val")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--ema", action="store_true",
+                    help="score the EMA (Polyak) shadow weights saved by "
+                         "an --ema-decay run instead of the raw params")
     args = ap.parse_args()
 
     from srgan_tpu.utils.platform import (
@@ -51,9 +54,10 @@ def main():
     )
 
     ds = ImageFolderDataset(args.val_dir, (512, 1024))
-    lead = Upscaler.from_checkpoint(args.results_dir, args.prefix)
+    lead = Upscaler.from_checkpoint(args.results_dir, args.prefix,
+                                    ema=args.ema)
     ens = Upscaler.from_checkpoint(
-        args.results_dir, args.prefix, ensemble=True
+        args.results_dir, args.prefix, ensemble=True, ema=args.ema
     )
     f = lead.model.upscale_factor
 
