@@ -32,7 +32,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax ≥ 0.8 promoted shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover — older jax
+    from jax.experimental.shard_map import shard_map
 
 from srgan_tpu.training.steps import generator_pixel_loss_fn
 from srgan_tpu.training.train_state import TrainState

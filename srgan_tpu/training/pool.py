@@ -182,11 +182,22 @@ class GeneratorPool:
             m.pre_loss = m.running_loss
         if self.cfg.mutual_learning and len(self.members) > 1:
             strong = self.members[0].state.params
+            strong_ema = self.members[0].state.ema_params
             for m in self.members[1:]:
+                # Shadow gets the same weak←strong lerp as the params it
+                # averages (ADVICE r4 #2): a stale shadow would otherwise
+                # lag the post-lerp trajectory for ~1/(1-decay) steps.
                 m.state = m.state.replace(
                     params=interpolate_params(
                         m.state.params, strong, self.cfg.mutual_alpha
-                    )
+                    ),
+                    ema_params=(
+                        None if m.state.ema_params is None
+                        else interpolate_params(
+                            m.state.ema_params, strong_ema,
+                            self.cfg.mutual_alpha,
+                        )
+                    ),
                 )
 
     def snapshot(self) -> List[dict]:

@@ -436,8 +436,14 @@ def scanned_pool_gan_step(
 
 @jax.jit
 def permute_members(stacked_state: TrainState, perm: jax.Array) -> TrainState:
-    """Epoch-end re-sort: gather every leaf along the pool axis."""
-    return jax.tree.map(lambda x: x[perm], stacked_state)
+    """Epoch-end re-sort: gather every leaf along the pool axis.
+
+    Scalar leaves pass through unchanged — the state carries ``ema_decay``
+    as a 0-dim traced leaf shared by all members (stack_states keeps the
+    first member's value), which has no pool axis to gather."""
+    return jax.tree.map(
+        lambda x: x[perm] if jnp.ndim(x) else x, stacked_state
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("alpha",))
@@ -559,10 +565,20 @@ class StackedGeneratorPool:
                 )
         self.pre_loss = self.running_loss.copy()
         if self.cfg.mutual_learning and self.n > 1:
+            # The EMA shadow gets the SAME lerp: it averages the params'
+            # trajectory, and when that trajectory jumps toward the leader
+            # an un-lerped shadow would spend ~1/(1-decay) steps averaging
+            # a stale pre-lerp path (ADVICE r4 #2).
             self.state = self.state.replace(
                 params=mutual_learning_lerp(
                     self.state.params, self.cfg.mutual_alpha
-                )
+                ),
+                ema_params=(
+                    None if self.state.ema_params is None
+                    else mutual_learning_lerp(
+                        self.state.ema_params, self.cfg.mutual_alpha
+                    )
+                ),
             )
 
     def leader_params(self, *, serve: bool = False):

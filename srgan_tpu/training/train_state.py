@@ -14,6 +14,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -32,8 +33,16 @@ class TrainState(struct.PyTreeNode):
     # compiled train step) that smooths the noisy GAN endpoint at serving
     # time (classic SR practice; measured in PARITY.md's quality section).
     ema_params: Any = None
-    # Static so XLA constant-folds the lerp coefficients.
-    ema_decay: float = struct.field(pytree_node=False, default=0.0)
+    # A pytree LEAF (runtime value), not a static field: every decay value
+    # shares one compiled executable, exactly like ``lr``. Baking it in as
+    # a compile-time constant made each swept decay a fresh flagship
+    # compile (~10-25 min over the tunnel) for the negligible win of
+    # constant-folding one elementwise lerp (VERDICT r4 weak #3). In
+    # vmap-stacked pools this leaf stacks to shape (N,) like every other
+    # leaf; ``update_ema`` reshapes it to broadcast over leading axes.
+    # Not part of the checkpoint payload (restore re-derives it from
+    # config), so the snapshot format is unchanged.
+    ema_decay: Any = 0.0
 
     @classmethod
     def create(cls, *, apply_fn, params, b1: float = 0.9, b2: float = 0.999,
@@ -53,7 +62,15 @@ class TrainState(struct.PyTreeNode):
             apply_fn=apply_fn,
             tx=tx,
             ema_params=ema,
-            ema_decay=float(ema_decay),
+            # A HOST (numpy) f32 scalar, for two reasons: (a) strong-typed
+            # f32 — a Python float would enter the first jit call
+            # weak-typed and come back strong, forcing one avoidable
+            # recompile; (b) never donatable — the fused steps donate
+            # their state buffers, and a device-scalar leaf here would be
+            # deleted the first time a freshly-created state is stepped,
+            # breaking the common test/sweep pattern of reusing the
+            # initial state with copied params.
+            ema_decay=np.float32(ema_decay),
         )
 
     def update_ema(self) -> "TrainState":
@@ -63,10 +80,15 @@ class TrainState(struct.PyTreeNode):
         carry)."""
         if self.ema_params is None:
             return self
-        d = self.ema_decay
-        new_ema = jax.tree.map(
-            lambda e, p: d * e + (1.0 - d) * p, self.ema_params, self.params
-        )
+        d = jnp.asarray(self.ema_decay)
+
+        def lerp(e, p):
+            # Stacked pools carry decay as a (N,) leaf next to (N, ...)
+            # param leaves; align it to broadcast over the LEADING axis.
+            dd = jnp.reshape(d, d.shape + (1,) * (e.ndim - d.ndim))
+            return dd * e + (1.0 - dd) * p
+
+        new_ema = jax.tree.map(lerp, self.ema_params, self.params)
         return self.replace(ema_params=new_ema)
 
     @property
