@@ -16,6 +16,9 @@ the driver-recorded bench, not PARITY prose):
   - ``real_epoch_gan_pool3_images_per_sec`` — flagship pool-3 GAN config
     (scan pool executor at full batch, no remat — the default path;
     each member's G update plus the shared D update fused per batch);
+  - ``real_epoch_gan_perceptual_images_per_sec`` — the recommended
+    production recipe (single-gen GAN + trained-encoder perceptual prior,
+    PARITY.md), guarding the extractor-sharing path;
   - ``serving_images_per_sec_device`` — batch-48 inference with device-side
     uint8 quantization (``infer_step_u8``), the serving fast path.
 
@@ -305,6 +308,62 @@ def bench_real_epochs(on_tpu: bool) -> dict:
     return out
 
 
+def bench_production_recipe(on_tpu: bool) -> dict:
+    """Real-data epoch rate of the RECOMMENDED production recipe
+    (PARITY.md): single-generator GAN + trained-encoder perceptual prior
+    (``--gan --perceptual 0.1 --perceptual-encoder``) — so a regression in
+    the extractor-sharing path (``loop.py``'s encoder branch) moves a
+    driver-recorded number (VERDICT r4 weak #5). The archive is a fresh
+    production-architecture encoder written to a temp npz: the epoch rate
+    is weight-independent and the bench must be self-contained."""
+    import tempfile
+
+    from scripts.bench_epoch import make_dataset
+    from srgan_tpu.config import (
+        Config, DataConfig, DiscriminatorConfig, ModelConfig, TrainConfig,
+    )
+    from srgan_tpu.models.encoder import init_encoder, save_encoder_npz
+
+    h, w = (512, 1024) if on_tpu else (128, 256)
+    n_images = int(
+        os.environ.get("BENCH_EPOCH_IMAGES", "120" if on_tpu else "16")
+    )
+    epochs = int(os.environ.get("BENCH_EPOCHS", "2"))
+    data_dir = os.environ.get("BENCH_DATA_DIR", f"/tmp/srbench_{h}x{w}")
+    make_dataset(data_dir, n_images, h, w)
+    dtype = "bfloat16" if on_tpu else "float32"
+
+    enc_model, enc_params = init_encoder(
+        jax.random.key(9), sample_hw=(64, 64)
+    )
+    with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as f:
+        enc_path = f.name
+    save_encoder_npz(enc_model, enc_params, enc_path)
+    try:
+        cfg = Config(
+            model=ModelConfig(compute_dtype=dtype),
+            discriminator=DiscriminatorConfig(
+                compute_dtype=dtype,
+                num_stages=4 if min(h, w) >= 428 else 2,
+            ),
+            data=DataConfig(
+                hr_size=(h, w), batch_size=24 if on_tpu else 4,
+                device_cache="on",
+            ),
+            train=TrainConfig(
+                use_gan=True, perceptual_weight=0.1,
+                perceptual_encoder_npz=enc_path,
+            ),
+        )
+        return {
+            "real_epoch_gan_perceptual_images_per_sec": round(
+                _epoch_rate(cfg, data_dir, epochs), 3
+            ),
+        }
+    finally:
+        os.unlink(enc_path)
+
+
 def bench_serving(on_tpu: bool) -> dict:
     """Device-side u8 serving rate: SR forward + enhance-free uint8
     quantization in one executable, host fetch of uint8 frames."""
@@ -479,6 +538,8 @@ def main():
         for fn, null_keys in (
             (bench_real_epochs, ("real_epoch_pixel_images_per_sec",
                                  "real_epoch_gan_pool3_images_per_sec")),
+            (bench_production_recipe,
+             ("real_epoch_gan_perceptual_images_per_sec",)),
             (bench_serving, ("serving_images_per_sec_device",
                              "serving_images_per_sec_fetch_u8")),
             (bench_serving_quality,
