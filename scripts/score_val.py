@@ -45,6 +45,17 @@ def main():
     ap.add_argument("--max-batches", type=int, default=30,
                     help="compute_score's cap (src/train.py:271-272)")
     ap.add_argument("--seed", type=int, default=0)
+    # Degradation knobs (ADVICE r4: a run trained with non-default
+    # degradation must be scorable under the SAME pipeline, or the
+    # "same as Trainer.compute_score" pairing silently breaks).
+    ap.add_argument("--noise-std-max", type=float, default=0.03,
+                    help="match the run's --noise-std-max")
+    ap.add_argument("--salt-prob", type=float, default=0.0,
+                    help="match the run's --salt-prob")
+    ap.add_argument("--pepper-prob", type=float, default=0.0,
+                    help="match the run's --pepper-prob")
+    ap.add_argument("--spot-size", type=int, default=1,
+                    help="match the run's --spot-size")
     args = ap.parse_args()
 
     import jax
@@ -86,6 +97,10 @@ def main():
     data_cfg = DataConfig(
         hr_size=(h, w), upscale_factor=model_cfg.upscale_factor,
         batch_size=args.batch,
+        noise_std_max=args.noise_std_max,
+        salt_prob=args.salt_prob,
+        pepper_prob=args.pepper_prob,
+        sp_spot_size=args.spot_size,
     )
     pipe = TrainPipeline(data_cfg, args.val_dir, use_split=False,
                          seed=args.seed + 1)

@@ -57,10 +57,11 @@ def evaluate_model(
     perceptual_metric: Optional[str] = None,
     verbose: bool = True,
 ) -> tuple:
-    """Returns (avg_psnr, avg_ssim) over the paired eval set
-    (``evaluate_model``, ``src/evaluation.py:15-61``) — plus a third
-    element, the average encoder perceptual distance, when
-    ``perceptual_metric`` is given.
+    """Returns ``(avg_psnr, avg_ssim, avg_perceptual_dist_or_None)`` over
+    the paired eval set (``evaluate_model``, ``src/evaluation.py:15-61``).
+    The third element is the average encoder perceptual distance when
+    ``perceptual_metric`` is given, else None — the arity is fixed
+    (ADVICE r4).
 
     ``perceptual_metric``: path to a trained contrastive-encoder ``.npz``
     (``scripts/train_encoder.py``). Scores each pair with the LPIPS-style
@@ -131,6 +132,13 @@ def evaluate_model(
             upscaler = Upscaler.random_init()
 
     if bucketed:
+        if perceptual_metric is not None:
+            # fail loudly rather than silently dropping a requested
+            # metric (same contract as the trainer's dropped-objective
+            # guard): the bucketed executor scores PSNR/SSIM only.
+            raise ValueError(
+                "--perceptual-metric is not supported with --bucketed"
+            )
         return _evaluate_bucketed(
             eval_data,
             upscaler,
@@ -197,6 +205,9 @@ def evaluate_model(
             print(line, end="\r")
     avg_psnr = t_psnr / max(1, n)
     avg_ssim = t_ssim / max(1, n)
+    # Fixed 3-tuple arity regardless of ``perceptual_metric`` (ADVICE r4:
+    # argument-dependent arity is fragile for programmatic callers); the
+    # third slot is None when no perceptual extractor was requested.
     if enc is not None:
         avg_pd = t_pd / max(1, n)
         if verbose:
@@ -205,7 +216,7 @@ def evaluate_model(
         return avg_psnr, avg_ssim, avg_pd
     if verbose:
         print(f"\naverage psnr = {avg_psnr}, average ssim = {avg_ssim}")
-    return avg_psnr, avg_ssim
+    return avg_psnr, avg_ssim, None
 
 
 def _forward_fn(upscaler):
@@ -389,7 +400,9 @@ def _evaluate_bucketed(
     avg_ssim = t_ssim / max(1, n)
     if verbose:
         print(f"\naverage psnr = {avg_psnr}, average ssim = {avg_ssim}")
-    return avg_psnr, avg_ssim
+    # Same fixed 3-tuple arity as evaluate_model's flat path (ADVICE r4);
+    # the bucketed executor has no perceptual-metric mode.
+    return avg_psnr, avg_ssim, None
 
 
 def main(argv=None):

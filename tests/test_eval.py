@@ -30,7 +30,7 @@ class TestEvaluation:
         up = Upscaler.random_init(
             ModelConfig(num_features=8, num_residuals=1, upscale_factor=4)
         )
-        psnr, ssim = evaluate_model(
+        psnr, ssim, _ = evaluate_model(
             root, "LRbicx4", "original",
             upscaler=up, extra_downscale=True, apply_enhance=True,
             verbose=False,
@@ -72,7 +72,7 @@ class TestEvaluation:
             ModelConfig(num_features=8, num_residuals=1, upscale_factor=4)
         )
         with pytest.warns(UserWarning, match="too small to score"):
-            psnr, ssim = evaluate_model(
+            psnr, ssim, _ = evaluate_model(
                 root, "LRbicx4", "original",
                 upscaler=up, extra_downscale=True, apply_enhance=False,
                 bucketed=bucketed, verbose=False,
@@ -88,7 +88,7 @@ class TestEvaluation:
         up = Upscaler.random_init(
             ModelConfig(num_features=8, num_residuals=1, upscale_factor=4)
         )
-        p1, _ = evaluate_model(root, "LRbicx4", "original", upscaler=up,
+        p1, _, _ = evaluate_model(root, "LRbicx4", "original", upscaler=up,
                                extra_downscale=False, apply_enhance=False,
                                verbose=False)
         assert np.isfinite(p1)
@@ -105,7 +105,7 @@ class TestEvaluation:
         up = Upscaler.random_init(
             ModelConfig(num_features=8, num_residuals=1, upscale_factor=2)
         )
-        psnr, ssim = evaluate_model(
+        psnr, ssim, _ = evaluate_model(
             root, "LRbicx4", "original",
             upscaler=up, extra_downscale=True, apply_enhance=False,
             verbose=False,
@@ -122,8 +122,8 @@ class TestEvaluation:
         )
         kw = dict(upscaler=up, extra_downscale=True, apply_enhance=True,
                   verbose=False)
-        p0, s0 = evaluate_model(root, "LRbicx4", "original", **kw)
-        p1, s1 = evaluate_model(root, "LRbicx4", "original", bucketed=True,
+        p0, s0, _ = evaluate_model(root, "LRbicx4", "original", **kw)
+        p1, s1, _ = evaluate_model(root, "LRbicx4", "original", bucketed=True,
                                 **kw)
         assert p1 == pytest.approx(p0, rel=1e-5)
         assert s1 == pytest.approx(s0, rel=1e-5)
@@ -144,7 +144,7 @@ class TestEvaluation:
         up = Upscaler.random_init(
             ModelConfig(num_features=8, num_residuals=1, upscale_factor=4)
         )
-        psnr, ssim = evaluate_model(
+        psnr, ssim, _ = evaluate_model(
             root, "LRbicx4", "original",
             upscaler=up, extra_downscale=True, apply_enhance=True,
             bucketed=True, verbose=False,
@@ -722,14 +722,14 @@ class TestEnsembleInference:
         up = Upscaler(model, stacked, ensemble=True)
         root = str(tmp_path)
         _make_pair_dirs(root)
-        psnr_e, ssim_e = evaluate_model(
+        psnr_e, ssim_e, _ = evaluate_model(
             root, "LRbicx4", "original", upscaler=up,
             extra_downscale=False, apply_enhance=False, verbose=False,
         )
         assert np.isfinite(psnr_e) and np.isfinite(ssim_e)
         # and it differs from the lead-only score (distinct members)
         lead = Upscaler(model, p0)
-        psnr_l, _ = evaluate_model(
+        psnr_l, _, _ = evaluate_model(
             root, "LRbicx4", "original", upscaler=lead,
             extra_downscale=False, apply_enhance=False, verbose=False,
         )
@@ -815,11 +815,11 @@ class TestTTAInference:
         tta = Upscaler(plain.model, plain.params, tta=True)
         root = str(tmp_path)
         _make_pair_dirs(root)
-        p_t, s_t = evaluate_model(
+        p_t, s_t, _ = evaluate_model(
             root, "LRbicx4", "original", upscaler=tta,
             extra_downscale=False, apply_enhance=False, verbose=False,
         )
-        p_p, _ = evaluate_model(
+        p_p, _, _ = evaluate_model(
             root, "LRbicx4", "original", upscaler=plain,
             extra_downscale=False, apply_enhance=False, verbose=False,
         )
