@@ -34,10 +34,23 @@ utilization — a predicted net loss; the probe also measures a natively
 dense 256-wide control (the upper bound with zero folding overhead) to
 separate the two effects. Measured by ``scripts/s2d_trunk_probe.py``:
 
-MEASURED: pending — run ``scripts/s2d_trunk_probe.py`` on the chip and
-record the three numbers here (decision rule from the verdict: ship as a
-trunk option only if s2d beats fine by >= 15%, else record the fourth
-rejection and declare the F=64 conv ceiling CLOSED).
+MEASURED (v5e chip, ``python scripts/s2d_trunk_probe.py`` defaults —
+batch 24, 128x256 LR, 16 blocks, bf16, grads included): **REJECTED**,
+the fourth and final conv-ceiling probe.
+
+  fine (shipped F=64 trunk)   132.0 ms/step   1.00x  (the 109.8 img/s path)
+  s2d_exact (folded, dense)   436.5 ms/step   0.30x  (4x MACs, as predicted)
+  s2d_dense (256-wide bound)  138.2 ms/step   0.955x (zero fold overhead)
+
+The decisive row is the CONTROL: even a natively-parameterized 256-wide
+coarse trunk with no folding overhead at all is 4.5% *slower* than the
+F=64 fine trunk — on these shapes XLA's F=64 convs are not
+output-width-bound in practice (spatial dim folds into the free matmul
+axis), so there is no width win for any s2d variant to collect, and the
+exact fold's 4x dense MACs price it at 0.30x. With tower-kernel,
+grouped-conv, int8 and now s2d all measured and rejected, the F=64 conv
+ceiling is CLOSED: the shipped XLA conv path is the fastest known
+formulation on this hardware (see PARITY.md perf notes).
 """
 
 from __future__ import annotations
