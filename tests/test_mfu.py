@@ -16,7 +16,7 @@ class TestMfuReport:
         paths = rec["paths"]
         assert set(paths) == {
             "train_pixel_step", "train_gan_step", "serving_forward_u8",
-            "train_pool3_gan_step_scan",
+            "train_pool3_gan_step_scan", "train_gan_perceptual_step",
         }
         for name, p in paths.items():
             assert p["ms_per_step"] > 0, name
@@ -31,6 +31,11 @@ class TestMfuReport:
         assert (
             paths["train_gan_step"]["gflops_per_step"]
             > paths["train_pixel_step"]["gflops_per_step"]
+        )
+        # the encoder feature term adds FLOPs on top of the GAN step
+        assert (
+            paths["train_gan_perceptual_step"]["gflops_per_step"]
+            > paths["train_gan_step"]["gflops_per_step"]
         )
         # N members' G updates dwarf the single-member GAN step
         assert (
